@@ -1,0 +1,74 @@
+"""Synthetic implicit-feedback dataset generation.
+
+No reference counterpart: the reference's tests download MovieLens-100k over
+the network (skrec/tests/test_dataset.py:14-26). This module generates a
+reproducible power-law interaction log with the same file layout, so tests
+and benchmarks run hermetically (no network).
+"""
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .preprocessor import Preprocessor
+
+__all__ = ["make_interactions", "make_dataset_dir"]
+
+
+def make_interactions(num_users: int = 200, num_items: int = 300,
+                      num_ratings: int = 5000, seed: int = 2021) -> pd.DataFrame:
+    """Generate a (user, item, rating, time) log with Zipfian item popularity
+    and per-user activity, with no duplicate (user, item) pairs."""
+    rng = np.random.default_rng(seed)
+    # Zipf-ish popularity over items.
+    item_w = 1.0 / np.arange(1, num_items + 1) ** 0.8
+    item_p = item_w / item_w.sum()
+    user_w = 1.0 / np.arange(1, num_users + 1) ** 0.5
+    user_p = user_w / user_w.sum()
+
+    oversample = int(num_ratings * 2.5)
+    users = rng.choice(num_users, size=oversample, p=user_p)
+    items = rng.choice(num_items, size=oversample, p=item_p)
+    df = pd.DataFrame({"user": users, "item": items})
+    df = df.drop_duplicates(subset=["user", "item"]).head(num_ratings)
+    # Every user needs >= 3 interactions so leave-out splits are non-degenerate.
+    base = pd.DataFrame({
+        "user": np.repeat(np.arange(num_users), 3),
+        "item": rng.integers(0, num_items, size=3 * num_users),
+    })
+    df = pd.concat([base, df]).drop_duplicates(subset=["user", "item"])
+    n = len(df)
+    df = df.assign(rating=rng.integers(1, 6, size=n).astype(np.int64),
+                   time=rng.integers(1_000_000, 2_000_000, size=n).astype(np.int64))
+    return df.reset_index(drop=True)
+
+
+def make_dataset_dir(root: str, name: str = "synth",
+                     num_users: int = 200, num_items: int = 300,
+                     num_ratings: int = 5000, seed: int = 2021,
+                     by_time: bool = True,
+                     split: str = "ratio",
+                     columns: str = "UIRT") -> str:
+    """Generate, preprocess, split and save a dataset; returns its dir path
+    (ready for :class:`skrx.io.RSDataset`)."""
+    df = make_interactions(num_users, num_items, num_ratings, seed)
+    if columns == "UI":
+        df = df[["user", "item"]]
+    elif columns == "UIR":
+        df = df[["user", "item", "rating"]]
+    elif columns == "UIT":
+        df = df[["user", "item", "time"]]
+    proc = Preprocessor()
+    os.makedirs(root, exist_ok=True)
+    proc.load_dataframe(df, columns=columns, name=name, dir_path=root)
+    proc.drop_duplicates()
+    proc.filter_data(user_min=3, item_min=1)
+    proc.remap_data_id()
+    if split == "ratio":
+        proc.split_data_by_ratio(0.7, 0.1, 0.2, by_time=by_time)
+    elif split == "leave_out":
+        proc.split_data_by_leave_out(valid=1, test=1, by_time=by_time)
+    else:
+        raise ValueError(f"unknown split {split!r}")
+    return proc.save_data(root)

@@ -1,0 +1,57 @@
+"""Run-level configuration.
+
+Capability parity with reference skrec/run_config.py:7-43, extended with
+TPU-native run options (mesh shape, dtype policy) that the reference — a
+single-GPU library — does not have.
+"""
+from typing import Optional, Tuple, Union
+
+from .utils.config import Config
+
+__all__ = ["RunConfig"]
+
+_VALID_COLUMNS = ("UI", "UIR", "UIT", "UIRT")
+_VALID_METRICS = ("Precision", "Recall", "MAP", "NDCG", "MRR")
+
+
+class RunConfig(Config):
+    recommender: str = "BPRMF"
+    data_dir: str = ""
+    file_column: str = "UIRT"
+    sep: str = "\t"
+    hyperopt: bool = False
+    # Kept for CLI compatibility with the reference (gpu_id selects the CUDA
+    # device there); on TPU the device set is controlled by the runtime.
+    gpu_id: Union[int, str] = 0
+    metric: Tuple[str, ...] = ("Precision", "Recall", "MAP", "NDCG")
+    top_k: Tuple[int, ...] = (10, 20, 30, 40, 50)
+    test_batch_size: int = 64
+    # Host threads for the input pipeline (the reference uses this for its
+    # C++ ranking thread pool; evaluation here runs on device).
+    test_thread: int = 4
+    seed: int = 2021
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Mesh axis sizes (data, model). None => single device.
+    mesh_shape: Optional[Tuple[int, int]] = None
+    # Compute dtype for dense towers: "float32" | "bfloat16".
+    compute_dtype: str = "float32"
+
+    def _validate(self):
+        assert isinstance(self.recommender, str) and self.recommender
+        assert isinstance(self.data_dir, str)
+        assert self.file_column in _VALID_COLUMNS, \
+            f"file_column must be one of {_VALID_COLUMNS}"
+        if isinstance(self.metric, str):
+            self.metric = (self.metric,)
+        self.metric = tuple(self.metric)
+        for m in self.metric:
+            assert m in _VALID_METRICS, f"unknown metric {m!r}"
+        if isinstance(self.top_k, int):
+            self.top_k = (self.top_k,)
+        self.top_k = tuple(int(k) for k in self.top_k)
+        assert all(k > 0 for k in self.top_k)
+        assert self.test_batch_size > 0
+        assert self.test_thread > 0
+        assert isinstance(self.seed, int)
+        assert self.compute_dtype in ("float32", "bfloat16")

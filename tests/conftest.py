@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so sharding/collective paths are
+exercised without TPU hardware (the standard JAX way to test multi-chip
+programs — SURVEY §4). Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+prev = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in prev:
+    os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synth_dataset(tmp_path_factory):
+    """A small synthetic dataset dir + RSDataset, shared across tests."""
+    from skrx.io import synthetic, RSDataset
+    root = tmp_path_factory.mktemp("data")
+    path = synthetic.make_dataset_dir(str(root), num_users=60, num_items=90,
+                                      num_ratings=1500, seed=7)
+    return RSDataset(path, "\t", "UIRT")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
