@@ -1,0 +1,85 @@
+"""Sparse graph propagation as gather + segment-sum.
+
+TPU-native replacement for the reference's ``torch.sparse.mm`` propagation
+(LightGCN.py:89-100, LayerGCN.py:207-220, LightGCL.py, FREEDOM.py:211-225):
+graphs are lowered host-side to static int32 COO edge lists with
+precomputed normalization weights (skrx/utils/common.py); on device one
+propagation step is ``segment_sum(x[src] * w, dst)`` — a gather, a fused
+multiply, and a scatter-add, which XLA schedules as pure HBM-bandwidth work
+with no dynamic shapes. Edge dropout is a Bernoulli mask over the static edge
+set with weight rescaling (edges keep their slots; dropped edges get weight
+0), so the compiled program never changes shape across epochs.
+"""
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["Graph", "graph_from_sp_matrix", "propagate", "propagate_layers",
+           "edge_dropout"]
+
+
+class Graph(NamedTuple):
+    """Static device-ready COO graph."""
+    src: jnp.ndarray      # (E,) int32
+    dst: jnp.ndarray      # (E,) int32
+    weight: jnp.ndarray   # (E,) float32
+    num_nodes: int
+
+
+def graph_from_sp_matrix(mat: sp.spmatrix) -> Graph:
+    """Lower a (square) scipy sparse matrix A to a Graph such that
+    ``propagate(g, x) == A @ x``."""
+    coo = sp.coo_matrix(mat)
+    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
+    return Graph(jnp.asarray(coo.col.astype(np.int32)),
+                 jnp.asarray(coo.row.astype(np.int32)),
+                 jnp.asarray(coo.data.astype(np.float32)),
+                 coo.shape[0])
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _propagate(src, dst, weight, x, num_nodes):
+    msgs = x[src] * weight[:, None]
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+
+
+def propagate(graph: Graph, x: jnp.ndarray,
+              edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """One step of A @ x. ``edge_mask`` (float (E,)) scales edge weights —
+    used for message dropout without changing shapes."""
+    weight = graph.weight if edge_mask is None else graph.weight * edge_mask
+    return _propagate(graph.src, graph.dst, weight, x, graph.num_nodes)
+
+
+def propagate_layers(graph: Graph, x: jnp.ndarray, num_layers: int,
+                     combine: str = "mean",
+                     edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """K propagation layers with layer combination.
+
+    combine: 'mean' (LightGCN: average of layers 0..K), 'sum', or 'last'.
+    """
+    layers = [x]
+    h = x
+    for _ in range(num_layers):
+        h = propagate(graph, h, edge_mask)
+        layers.append(h)
+    if combine == "mean":
+        return jnp.mean(jnp.stack(layers), axis=0)
+    if combine == "sum":
+        return jnp.sum(jnp.stack(layers), axis=0)
+    if combine == "last":
+        return h
+    raise ValueError(f"unknown combine {combine!r}")
+
+
+def edge_dropout(key: jax.Array, num_edges: int, keep_prob: float) -> jnp.ndarray:
+    """Bernoulli edge mask with 1/keep_prob rescaling (device equivalent of
+    dropout_sparse, reference torch.py:38-59)."""
+    if not 0.0 < keep_prob <= 1.0:
+        raise ValueError(f"'keep_prob' must be in (0, 1], got {keep_prob}")
+    keep = jax.random.bernoulli(key, keep_prob, (num_edges,))
+    return keep.astype(jnp.float32) / keep_prob

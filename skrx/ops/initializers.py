@@ -1,0 +1,66 @@
+"""Parameter initializer registry.
+
+Capability parity with reference skrec/utils/torch.py:88-111
+(`get_initializer`): same names, same distribution constants
+(normal sigma=0.01, truncated_normal sigma=0.01, uniform +-0.05, he/xavier
+variants, zeros/ones). Implemented as JAX initializer callables
+``(key, shape, dtype) -> Array``.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.nn import initializers as jinit
+
+__all__ = ["get_initializer", "InitArg"]
+
+
+class InitArg:
+    MEAN = 0.0
+    STDDEV = 0.01
+    MIN_VAL = -0.05
+    MAX_VAL = 0.05
+
+
+def _normal(key, shape, dtype=jnp.float32):
+    return InitArg.MEAN + InitArg.STDDEV * jax.random.normal(key, shape, dtype)
+
+
+def _truncated_normal(key, shape, dtype=jnp.float32):
+    return InitArg.MEAN + InitArg.STDDEV * jax.random.truncated_normal(
+        key, -2.0, 2.0, shape, dtype)
+
+
+def _uniform(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype,
+                              minval=InitArg.MIN_VAL, maxval=InitArg.MAX_VAL)
+
+
+def _zeros(key, shape, dtype=jnp.float32):
+    del key
+    return jnp.zeros(shape, dtype)
+
+
+def _ones(key, shape, dtype=jnp.float32):
+    del key
+    return jnp.ones(shape, dtype)
+
+
+_INITIALIZERS = {
+    "normal": _normal,
+    "truncated_normal": _truncated_normal,
+    "uniform": _uniform,
+    "he_normal": jinit.he_normal(),
+    "he_uniform": jinit.he_uniform(),
+    "xavier_normal": jinit.glorot_normal(),
+    "xavier_uniform": jinit.glorot_uniform(),
+    "zeros": _zeros,
+    "ones": _ones,
+}
+
+
+def get_initializer(init_method: str):
+    if init_method not in _INITIALIZERS:
+        names = ", ".join(_INITIALIZERS)
+        raise ValueError(f"'init_method' is invalid, must be one of '{names}'")
+    return _INITIALIZERS[init_method]

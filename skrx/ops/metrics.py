@@ -1,0 +1,119 @@
+"""On-device top-K ranking metrics.
+
+TPU-native replacement for the reference's C++ ranking kernel
+(skrec/utils/py/cython/include/evaluate.h:24-76, metric.h:19-118,
+pyx_eval_matrix.pyx:22-37). Where the reference runs one thread-pool task per
+user doing a partial_sort plus scalar metric loops, here the whole batch is
+one fused XLA program: scatter -inf over train items, `lax.top_k`, a
+vectorized membership test, and all five cumulative metrics as prefix ops on
+the (B, K) hit matrix. Everything stays in HBM.
+
+Exact-parity notes (SURVEY §7.3):
+
+* All metrics are *cumulative*: value at column k is the metric of the
+  length-(k+1) ranking prefix — mirroring metric.h where ``result_pt[i]`` is
+  written for every i.
+* ``truth_len`` is clamped to >= 1 (metric.h:36,54,73).
+* MAP's denominator is ``min(truth_len, k+1)`` (metric.h:63).
+* NDCG's iDCG accumulates 1/log2(i+2) only while ``i < truth_len``
+  (metric.h:80-83).
+* MRR fills the tail after the first hit (metric.h:89-109); expressed as the
+  running max of hit[i]/(i+1), which is identical because reciprocal rank
+  decreases with position.
+* The C++ kernel partial-sorts 2*K candidates then cuts K to dodge a
+  partial_sort tie bug (evaluate.h:33-45); `lax.top_k` is exact (ties broken
+  by lower index) so no workaround is needed.
+
+Metric ids follow the reference: {Precision:1, Recall:2, MAP:3, NDCG:4, MRR:5}
+(evaluator.py:57).
+"""
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["METRIC2ID", "ID2METRIC", "ranking_metrics_from_hits",
+           "topk_from_scores", "mask_items", "eval_score_matrix_device",
+           "hits_against_padded_truth"]
+
+METRIC2ID = {"Precision": 1, "Recall": 2, "MAP": 3, "NDCG": 4, "MRR": 5}
+ID2METRIC = {v: k for k, v in METRIC2ID.items()}
+
+
+def mask_items(scores: jnp.ndarray, item_table: jnp.ndarray,
+               fill_value=-jnp.inf) -> jnp.ndarray:
+    """Set ``scores[b, item_table[b, :]] = fill_value``, ignoring padded
+    entries (pad id >= num_items is dropped by the out-of-bounds scatter
+    mode). Device equivalent of evaluator.py:197-200's train-item masking."""
+    b = scores.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], item_table.shape)
+    return scores.at[rows, item_table].set(fill_value, mode="drop")
+
+
+def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k item indices per row (descending score)."""
+    _, idx = lax.top_k(scores, k)
+    return idx
+
+
+def hits_against_padded_truth(topk_items: jnp.ndarray,
+                              truth_table: jnp.ndarray) -> jnp.ndarray:
+    """(B, K) float32 hit indicator: topk item appears in the row's truth set.
+
+    ``truth_table`` is (B, T) padded with an id that can never be ranked
+    (pad id = num_items), so padding produces no false hits.
+    """
+    eq = topk_items[:, :, None] == truth_table[:, None, :]
+    return jnp.any(eq, axis=-1).astype(jnp.float32)
+
+
+def ranking_metrics_from_hits(hits: jnp.ndarray, truth_len: jnp.ndarray,
+                              metric_ids: Sequence[int]) -> jnp.ndarray:
+    """Cumulative metrics (B, n_metrics, K) from a hit matrix.
+
+    Args:
+        hits: (B, K) float32 0/1.
+        truth_len: (B,) int32 number of true test items per user.
+        metric_ids: which metrics, in output order (reference ids).
+    """
+    b, k = hits.shape
+    pos = jnp.arange(1, k + 1, dtype=jnp.float32)          # (K,) 1-based rank
+    truth = jnp.maximum(truth_len.astype(jnp.float32), 1.0)[:, None]  # (B,1)
+
+    cum_hits = jnp.cumsum(hits, axis=-1)                    # (B,K)
+    precision = cum_hits / pos
+    recall = cum_hits / truth
+    ap = jnp.cumsum(hits * precision, axis=-1) / jnp.minimum(truth, pos)
+    inv_log = 1.0 / jnp.log2(pos + 1.0)                     # 1/log2(i+2)
+    dcg = jnp.cumsum(hits * inv_log, axis=-1)
+    idcg = jnp.cumsum(jnp.where(pos[None, :] <= truth, inv_log[None, :], 0.0),
+                      axis=-1)
+    ndcg = dcg / idcg
+    mrr = lax.cummax(hits / pos, axis=1)
+
+    by_id = {1: precision, 2: recall, 3: ap, 4: ndcg, 5: mrr}
+    return jnp.stack([by_id[m] for m in metric_ids], axis=1)
+
+
+@partial(jax.jit, static_argnames=("metric_ids", "top_k"))
+def eval_score_matrix_device(scores: jnp.ndarray,
+                             train_table: jnp.ndarray,
+                             test_table: jnp.ndarray,
+                             test_len: jnp.ndarray,
+                             metric_ids: Tuple[int, ...],
+                             top_k: int) -> jnp.ndarray:
+    """Fused evaluation of one user batch, entirely on device.
+
+    scores: (B, N) float32 full-catalog scores.
+    train_table: (B, maxTr) int32 train items, padded with an id >= N.
+    test_table: (B, maxTe) int32 test items, padded with an id >= N.
+    test_len: (B,) int32.
+    Returns (B, n_metrics, top_k) float32 — same numbers the reference's
+    ``eval_score_matrix`` produces as (B, n_metrics*top_k).
+    """
+    masked = mask_items(scores, train_table)
+    topk_items = topk_from_scores(masked, top_k)
+    hits = hits_against_padded_truth(topk_items, test_table)
+    return ranking_metrics_from_hits(hits, test_len, metric_ids)

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from skrx.ops import eval_score_matrix_device, mask_items
+from .oracle import eval_score_matrix_oracle
+
+ALL_METRICS = (1, 2, 3, 4, 5)
+
+
+def _pad_lists(lists, pad_id):
+    max_len = max(len(x) for x in lists)
+    out = np.full((len(lists), max(max_len, 1)), pad_id, dtype=np.int32)
+    for i, x in enumerate(lists):
+        out[i, : len(x)] = x
+    return out
+
+
+def _random_case(rng, b, n, max_test, max_train):
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    test_items, train_items = [], []
+    for _ in range(b):
+        n_test = rng.integers(1, max_test + 1)
+        n_train = rng.integers(0, max_train + 1)
+        perm = rng.permutation(n)
+        test_items.append(perm[:n_test])
+        train_items.append(perm[n_test: n_test + n_train])
+    return scores, test_items, train_items
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("top_k", [5, 20])
+def test_device_metrics_match_cpp_oracle(seed, top_k):
+    rng = np.random.default_rng(seed)
+    b, n = 16, 200
+    scores, test_items, train_items = _random_case(rng, b, n, max_test=12,
+                                                   max_train=30)
+    oracle = eval_score_matrix_oracle(scores, test_items, train_items,
+                                      ALL_METRICS, top_k)
+    test_table = _pad_lists(test_items, pad_id=n)
+    train_table = _pad_lists(train_items, pad_id=n)
+    test_len = np.array([len(t) for t in test_items], dtype=np.int32)
+    got = eval_score_matrix_device(jnp.asarray(scores), jnp.asarray(train_table),
+                                   jnp.asarray(test_table), jnp.asarray(test_len),
+                                   ALL_METRICS, top_k)
+    np.testing.assert_allclose(np.asarray(got), oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_metrics_with_ties_and_zeros():
+    """The reference's 2*top_k partial-sort guard exists because of
+    zero-score ties (evaluate.h:33-45); verify exact index-order
+    tie-breaking here."""
+    n = 50
+    scores = np.zeros((1, n), dtype=np.float32)
+    scores[0, 10] = 1.0
+    test_items = [[10, 3]]
+    oracle = eval_score_matrix_oracle(scores, test_items, [[]], ALL_METRICS, 10)
+    got = eval_score_matrix_device(
+        jnp.asarray(scores), jnp.full((1, 1), n, np.int32),
+        jnp.asarray(_pad_lists(test_items, n)),
+        jnp.array([2], np.int32), ALL_METRICS, 10)
+    np.testing.assert_allclose(np.asarray(got), oracle, rtol=1e-5, atol=1e-6)
+    # item 10 ranked first (score 1), item 3 ranked at position 4 (index order
+    # among zero ties: 0,1,2,3 -> positions 1..4)
+    hits_prec = np.asarray(got)[0, 0]  # precision row
+    assert hits_prec[0] == 1.0
+
+
+def test_mask_items_drops_padding():
+    scores = jnp.ones((2, 5))
+    table = jnp.array([[0, 5, 5], [2, 3, 5]], dtype=jnp.int32)  # pad id 5
+    masked = np.asarray(mask_items(scores, table))
+    assert masked[0, 0] == -np.inf
+    assert (masked[0, 1:] == 1.0).all()
+    assert masked[1, 2] == -np.inf and masked[1, 3] == -np.inf
+    assert masked.shape == (2, 5)
+
+
+def test_leave_one_out_recall_is_hitratio():
+    rng = np.random.default_rng(3)
+    b, n = 8, 100
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    test_items = [[int(rng.integers(n))] for _ in range(b)]
+    got = eval_score_matrix_device(
+        jnp.asarray(scores), jnp.full((b, 1), n, np.int32),
+        jnp.asarray(_pad_lists(test_items, n)),
+        jnp.ones(b, np.int32), (2, 3, 5), 20)
+    got = np.asarray(got)
+    # leave-one-out: recall == hit ratio in {0,1}; MAP == MRR (SURVEY/evaluator doc)
+    assert set(np.unique(got[:, 0])).issubset({0.0, 1.0})
+    np.testing.assert_allclose(got[:, 1], got[:, 2], rtol=1e-6)
