@@ -1,0 +1,232 @@
+"""Ranking evaluation driver: MetricReport, RankingEvaluator, EarlyStopping.
+
+Capability parity with reference skrec/utils/py/evaluator.py:17-246, with the
+compute path re-designed for TPU: instead of predict → copy scores to host →
+C++ thread-pool ranking (evaluator.py:192-204), the evaluator keeps the whole
+loop on device — models expose ``predict_scores(users) -> (B, N) jax array``,
+train-item masking / exact top-k / all metric prefix-sums run inside one jit
+(skrx/ops/metrics.py), per-batch metric sums are accumulated on device, and a
+single scalar transfer happens at the end. Test batches are padded to a fixed
+size so the program compiles once.
+
+Semantics preserved exactly (SURVEY §7.3/§7.4): metrics averaged over users;
+cumulative metrics at every k <= max_top with ``top_show`` column selection
+(evaluator.py:207-213); leave-one-out and fold-out both supported by the same
+math; -inf train masking; NDCG/MAP/MRR details per metric.h.
+"""
+import itertools
+from collections import OrderedDict
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import METRIC2ID, ID2METRIC, eval_score_matrix_device
+
+__all__ = ["MetricReport", "RankingEvaluator", "EarlyStopping"]
+
+# ANSI colors (colorama-free; the file handler strips these).
+_COLORS = ["\x1b[31m", "\x1b[32m", "\x1b[33m", "\x1b[34m", "\x1b[35m", "\x1b[36m"]
+_RESET = "\x1b[0m"
+
+
+class MetricReport:
+    """Ordered metric -> value mapping with colored string rendering
+    (parity: evaluator.py:17-54)."""
+
+    def __init__(self, metrics: Sequence[str], values: Sequence[float]):
+        assert len(metrics) == len(values), \
+            f"lengths of metrics and values differ ({len(metrics)}!={len(values)})"
+        self._results = OrderedDict(zip(metrics, [float(v) for v in values]))
+
+    def metrics(self):
+        return self._results.keys()
+
+    def values(self):
+        return self._results.values()
+
+    def items(self):
+        return self._results.items()
+
+    @property
+    def results(self) -> Dict[str, float]:
+        return self._results
+
+    @property
+    def metrics_str(self) -> str:
+        colors = itertools.cycle(_COLORS)
+        return "\t".join(c + f"{m}".ljust(12) + _RESET
+                         for c, m in zip(colors, self.metrics()))
+
+    @property
+    def values_str(self) -> str:
+        colors = itertools.cycle(_COLORS)
+        return "\t".join(c + f"{v:.8f}".ljust(12) + _RESET
+                         for c, v in zip(colors, self.values()))
+
+    def __getitem__(self, item):
+        if item not in self._results:
+            raise KeyError(item)
+        return self._results[item]
+
+    def __str__(self):
+        return str(self._results)
+
+
+def _pad_table(user_dict: Dict[int, np.ndarray], users: np.ndarray,
+               pad_id: int, bucket: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """(len(users), maxLen) padded item table + lengths for the given users."""
+    lengths = np.array([len(user_dict.get(int(u), ())) for u in users],
+                       dtype=np.int32)
+    max_len = max(int(lengths.max()) if len(lengths) else 1, 1)
+    max_len = ((max_len + bucket - 1) // bucket) * bucket
+    table = np.full((len(users), max_len), pad_id, dtype=np.int32)
+    for i, u in enumerate(users):
+        items = user_dict.get(int(u))
+        if items is not None and len(items):
+            table[i, : len(items)] = items
+    return table, lengths
+
+
+class RankingEvaluator:
+    """Evaluate a model's top-K ranking quality on device.
+
+    The model must provide ``predict(users) -> (B, N) scores`` (numpy or jax
+    array — same contract as the reference, evaluator.py:163-192).
+    """
+
+    def __init__(self, user_train_dict: Optional[Dict[int, np.ndarray]],
+                 user_test_dict: Dict[int, np.ndarray],
+                 metric: Union[None, str, Tuple[str, ...], List[str]] = None,
+                 top_k: Union[int, List[int], Tuple[int, ...]] = 50,
+                 batch_size: int = 256, num_thread: int = 8):
+        if metric is None:
+            metric = ["Precision", "Recall", "MAP", "NDCG", "MRR"]
+        elif isinstance(metric, str):
+            metric = [metric]
+        elif isinstance(metric, (tuple, list)):
+            metric = list(metric)
+        else:
+            raise TypeError(f"invalid 'metric' type: {type(metric).__name__}")
+        for m in metric:
+            assert m in METRIC2ID, \
+                f"'{m}' is not in {tuple(METRIC2ID)}"
+
+        self.user_pos_train = user_train_dict if user_train_dict is not None else {}
+        assert len(user_test_dict) > 0, "'user_test_dict' cannot be empty."
+        self.user_pos_test = user_test_dict
+
+        self.metrics_num = len(metric)
+        self.metrics = tuple(METRIC2ID[m] for m in metric)
+        self.num_thread = num_thread  # kept for API parity; unused on device
+        self.batch_size = batch_size
+
+        if isinstance(top_k, int):
+            self.max_top = top_k
+            self.top_show = np.arange(top_k) + 1
+        else:
+            self.max_top = max(top_k)
+            self.top_show = np.sort(top_k)
+
+    def set_train_data(self, user_train_dict: Optional[Dict[int, np.ndarray]] = None):
+        self.user_pos_train = user_train_dict if user_train_dict is not None else {}
+
+    def set_test_data(self, user_test_dict: Dict[int, np.ndarray]):
+        assert len(user_test_dict) > 0, "'user_test_dict' cannot be empty."
+        self.user_pos_test = user_test_dict
+
+    @property
+    def metrics_list(self) -> List[str]:
+        return [f"{ID2METRIC[mid]}@{k}" for mid in self.metrics
+                for k in self.top_show]
+
+    @property
+    def metrics_str(self) -> str:
+        colors = itertools.cycle(_COLORS)
+        return "\t".join(c + f"{m}".ljust(12) + _RESET
+                         for c, m in zip(colors, self.metrics_list))
+
+    def _tables_for(self, users: np.ndarray, num_items: int):
+        """Padded train/test tables for the given users, memoized on the
+        full-width layout so every eval batch compiles to the same shapes."""
+        key = (id(self.user_pos_train), id(self.user_pos_test), num_items)
+        if getattr(self, "_table_key", None) != key:
+            all_users = np.arange(
+                max((max(self.user_pos_test, default=0),
+                     max(self.user_pos_train, default=0))) + 1, dtype=np.int32)
+            self._train_table, _ = _pad_table(self.user_pos_train, all_users,
+                                              num_items)
+            self._test_table, self._test_len = _pad_table(self.user_pos_test,
+                                                          all_users, num_items)
+            self._table_key = key
+        return (self._train_table[users], self._test_table[users],
+                self._test_len[users])
+
+    def evaluate(self, model, test_users: Optional[Iterable[int]] = None) -> MetricReport:
+        assert hasattr(model, "predict"), "the model must have a 'predict' method"
+        if test_users is not None:
+            test_users = [int(u) for u in test_users if int(u) in self.user_pos_test]
+        else:
+            test_users = [int(u) for u in self.user_pos_test.keys()]
+        assert len(test_users) > 0, "no test users"
+        users = np.asarray(test_users, dtype=np.int32)
+        n_users = len(users)
+        bs = self.batch_size
+
+        metric_sum = None
+        for lo in range(0, n_users, bs):
+            batch_users = users[lo: lo + bs]
+            n_real = len(batch_users)
+            pad = bs - n_real
+            if pad:  # pad final batch: same shapes -> single compilation
+                batch_users = np.concatenate(
+                    [batch_users, np.full(pad, batch_users[-1], np.int32)])
+            scores = jnp.asarray(model.predict(batch_users), dtype=jnp.float32)
+            num_items = scores.shape[1]
+            train_table, test_table, test_len = self._tables_for(batch_users,
+                                                                 num_items)
+            per_user = eval_score_matrix_device(
+                scores, jnp.asarray(train_table), jnp.asarray(test_table),
+                jnp.asarray(np.maximum(test_len, 1)), self.metrics, self.max_top)
+            weight = (np.arange(bs) < n_real) & (test_len > 0)
+            batch_sum = jnp.sum(
+                per_user * jnp.asarray(weight.astype(np.float32))[:, None, None],
+                axis=0)
+            metric_sum = batch_sum if metric_sum is None else metric_sum + batch_sum
+
+        final = np.asarray(metric_sum) / n_users          # (M, max_top)
+        final = final[:, self.top_show - 1].reshape(-1)
+        return MetricReport(self.metrics_list, final)
+
+
+class EarlyStopping:
+    """Track the best MetricReport on one key metric with patience
+    (parity: evaluator.py:217-246)."""
+
+    def __init__(self, metric: str = "NDCG@10", patience: int = 100):
+        self._metric = metric
+        self._patience = patience
+        self._best_score: Optional[MetricReport] = None
+        self._counter = 0
+
+    def __call__(self, val_result: MetricReport) -> bool:
+        if self._best_score is None:
+            self._best_score = val_result
+        elif val_result[self.key_metric] <= self._best_score[self.key_metric]:
+            self._counter += 1
+            if self._counter >= self._patience > 0:
+                return True
+        else:
+            self._best_score = val_result
+            self._counter = 0
+        return False
+
+    @property
+    def key_metric(self) -> str:
+        return self._metric
+
+    @property
+    def best_result(self) -> MetricReport:
+        if self._best_score is not None:
+            return self._best_score
+        return MetricReport(["None"], [0])

@@ -17,19 +17,34 @@ __all__ = ["make_interactions", "make_dataset_dir"]
 
 
 def make_interactions(num_users: int = 200, num_items: int = 300,
-                      num_ratings: int = 5000, seed: int = 2021) -> pd.DataFrame:
+                      num_ratings: int = 5000, seed: int = 2021,
+                      latent_dim: int = 8,
+                      latent_strength: float = 3.0) -> pd.DataFrame:
     """Generate a (user, item, rating, time) log with Zipfian item popularity
-    and per-user activity, with no duplicate (user, item) pairs."""
+    plus low-rank user-item affinity (so factor models genuinely beat the
+    popularity baseline), with no duplicate (user, item) pairs."""
     rng = np.random.default_rng(seed)
     # Zipf-ish popularity over items.
     item_w = 1.0 / np.arange(1, num_items + 1) ** 0.8
-    item_p = item_w / item_w.sum()
+    item_logit = np.log(item_w / item_w.sum())
     user_w = 1.0 / np.arange(1, num_users + 1) ** 0.5
     user_p = user_w / user_w.sum()
 
+    # Low-rank latent structure: users prefer items aligned with their factor.
+    u_vec = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
+    i_vec = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
+    affinity = latent_strength * (u_vec @ i_vec.T)  # (U, I)
+    logits = affinity + item_logit[None, :]
+    probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs /= probs.sum(axis=1, keepdims=True)
+
     oversample = int(num_ratings * 2.5)
     users = rng.choice(num_users, size=oversample, p=user_p)
-    items = rng.choice(num_items, size=oversample, p=item_p)
+    # Vectorized per-user categorical draw via inverse-CDF.
+    cdf = np.cumsum(probs, axis=1)
+    r = rng.random(oversample)
+    items = np.array([np.searchsorted(cdf[u], x) for u, x in zip(users, r)])
+    items = np.minimum(items, num_items - 1)
     df = pd.DataFrame({"user": users, "item": items})
     df = df.drop_duplicates(subset=["user", "item"]).head(num_ratings)
     # Every user needs >= 3 interactions so leave-out splits are non-degenerate.
@@ -49,10 +64,14 @@ def make_dataset_dir(root: str, name: str = "synth",
                      num_ratings: int = 5000, seed: int = 2021,
                      by_time: bool = True,
                      split: str = "ratio",
-                     columns: str = "UIRT") -> str:
+                     columns: str = "UIRT",
+                     latent_dim: int = 8,
+                     latent_strength: float = 3.0) -> str:
     """Generate, preprocess, split and save a dataset; returns its dir path
     (ready for :class:`skrx.io.RSDataset`)."""
-    df = make_interactions(num_users, num_items, num_ratings, seed)
+    df = make_interactions(num_users, num_items, num_ratings, seed,
+                           latent_dim=latent_dim,
+                           latent_strength=latent_strength)
     if columns == "UI":
         df = df[["user", "item"]]
     elif columns == "UIR":

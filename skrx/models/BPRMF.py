@@ -1,0 +1,116 @@
+"""BPRMF — Bayesian Personalized Ranking matrix factorization.
+
+Paper: Rendle et al., "BPR: Bayesian Personalized Ranking from Implicit
+Feedback" (UAI 2009).
+
+Behavioral parity with reference skrec/recommender/BPRMF.py:23-147 (same
+config defaults and param_space, normal(0.01) embedding init, zero item bias,
+summed BPR loss + reg * L2 over batch embeddings, Adam) — re-designed for
+TPU: training runs as one jitted whole-epoch `lax.scan`
+(skrx/models/pipeline.py) with on-device negative sampling, and predict is a
+single (B,D)x(D,N) matmul on the MXU.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import bpr_loss, l2_loss, get_initializer
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .base import JaxRecommender
+from .pipeline import PairwiseEpochPipeline
+
+__all__ = ["BPRMF", "BPRMFConfig"]
+
+
+class BPRMFConfig(ModelConfig):
+    lr: float = 1e-3
+    reg: float = 1e-3
+    n_dim: int = 64
+    batch_size: int = 1024
+    epochs: int = 1000
+    early_stop: int = 200
+
+    @classmethod
+    def param_space(cls):
+        return {"lr": [0.001, 0.005, 0.01, 0.05],
+                "reg": [0.0, 0.001, 0.005, 0.01, 0.05]}
+
+    def _validate(self):
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.reg, float) and self.reg >= 0
+        assert isinstance(self.n_dim, int) and self.n_dim > 0
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+        assert isinstance(self.epochs, int) and self.epochs >= 0
+        assert isinstance(self.early_stop, int)
+
+
+class BPRMF(JaxRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = BPRMFConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
+
+        key = jax.random.key(run_config.seed)
+        k_u, k_i = jax.random.split(key)
+        init = get_initializer("normal")
+        self.params = {
+            "user_emb": init(k_u, (self.num_users, cfg.n_dim)),
+            "item_emb": init(k_i, (self.num_items, cfg.n_dim)),
+            "item_bias": jnp.zeros((self.num_items,), jnp.float32),
+        }
+        self.optimizer = optax.adam(cfg.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
+                                              cfg.batch_size, num_neg=1)
+        self._rng = jax.random.key(run_config.seed + 1)
+
+        reg = cfg.reg
+
+        def loss_fn(params, batch):
+            users, pos, neg, w = batch
+            neg = neg[:, 0]
+            ue = params["user_emb"][users]
+            pe = params["item_emb"][pos]
+            ne = params["item_emb"][neg]
+            y_pos = jnp.sum(ue * pe, axis=-1) + params["item_bias"][pos]
+            y_neg = jnp.sum(ue * ne, axis=-1) + params["item_bias"][neg]
+            # Summed BPR + L2 of batch embeddings (BPRMF.py:117-124); padded
+            # rows are weighted out of both terms.
+            loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
+            reg_term = 0.5 * jnp.sum(
+                (jnp.sum(ue ** 2 + pe ** 2 + ne ** 2, axis=-1)
+                 + params["item_bias"][pos] ** 2
+                 + params["item_bias"][neg] ** 2) * w)
+            return loss + reg * reg_term
+
+        def train_step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        self._train_step = train_step
+
+        @jax.jit
+        def predict_fn(params, users):
+            ue = params["user_emb"][users]
+            return ue @ params["item_emb"].T + params["item_bias"][None, :]
+
+        self._predict_fn = predict_fn
+
+    def _train_epoch(self, epoch: int) -> float:
+        key = jax.random.fold_in(self._rng, epoch)
+        (self.params, self.opt_state), loss = self.pipeline.run_epoch(
+            key, (self.params, self.opt_state), self._train_step)
+        return float(loss)
+
+    def predict(self, users) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return self._predict_fn(self.params, users)

@@ -1,0 +1,102 @@
+"""Abstract recommender + shared JAX training harness.
+
+Capability parity with reference skrec/recommender/base.py:20-74 (dataset /
+logger / evaluator / activity-group wiring, run-id naming) plus the shared
+``fit()`` epoch loop that in the reference is duplicated in every model
+(e.g. BPRMF.py:101-139): per-epoch on-device training, per-epoch evaluation,
+early stopping on NDCG@10, colored metric logging. Concrete models supply
+``_train_epoch`` and ``predict`` only.
+"""
+import os
+import platform
+import time
+from typing import Dict, Iterable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..eval import EarlyStopping, MetricReport, RankingEvaluator
+from ..io import RSDataset, group_users_by_interactions
+from ..run_config import RunConfig
+from ..utils import Config, Logger, slugify
+from ..version import __version__
+
+__all__ = ["AbstractRecommender", "JaxRecommender"]
+
+
+class AbstractRecommender:
+    def __init__(self, run_config: RunConfig, model_config: Config):
+        self.dataset = RSDataset(run_config.data_dir, run_config.sep,
+                                 run_config.file_column)
+        self.logger: Logger = self._create_logger(self.dataset, model_config)
+        self.dataset.set_logger(self.logger)
+        self.evaluator = RankingEvaluator(
+            self.dataset.train_data.to_user_dict(),
+            self.dataset.test_data.to_user_dict(),
+            metric=run_config.metric, top_k=run_config.top_k,
+            batch_size=run_config.test_batch_size,
+            num_thread=run_config.test_thread)
+        self._user_groups = group_users_by_interactions(self.dataset)
+
+    def _create_logger(self, dataset: RSDataset, config: Config) -> Logger:
+        timestamp = time.time()
+        model_name = self.__class__.__name__
+        param_str = slugify(f"{dataset.data_name}_{model_name}_"
+                            f"{config.to_string('_')}", max_len=155)
+        run_id = f"{param_str}_{timestamp:.8f}"
+        log_dir = os.path.join("log", dataset.data_dir, model_name)
+        logger = Logger(os.path.join(log_dir, run_id + ".log"))
+
+        logger.info(f"Server:\t{platform.node()}")
+        logger.info(f"Workspace:\t{os.getcwd()}")
+        logger.info(f"PID:\t{os.getpid()}")
+        logger.info(f"skrx version:\tv{__version__}")
+        logger.info(f"Model:\t{self.__class__.__module__}")
+        logger.info(f"\n{dataset.statistic_info}")
+        logger.info(f"\nHyper-parameters:\n{config.to_string(chr(10))}\n")
+        return logger
+
+    def fit(self) -> MetricReport:
+        raise NotImplementedError
+
+    def evaluate(self, test_users: Optional[Iterable[int]] = None) -> MetricReport:
+        return self.evaluator.evaluate(self, test_users)
+
+    def evaluate_group(self) -> List[Tuple[str, MetricReport]]:
+        return [(g.label, self.evaluate(g.users)) for g in self._user_groups]
+
+    def predict(self, users: Union[List[int], np.ndarray]):
+        raise NotImplementedError
+
+
+class JaxRecommender(AbstractRecommender):
+    """Shared epoch-loop harness for JAX models.
+
+    Subclasses set ``self.config`` (with epochs / early_stop) before calling
+    ``super().__init__`` and implement:
+
+    * ``_train_epoch(epoch) -> float`` — run one epoch (on device), return loss.
+    * ``predict(users) -> (B, N) scores`` — device array is fine.
+    """
+
+    def fit(self) -> MetricReport:
+        self.logger.info("metrics:".ljust(12) + f"\t{self.evaluator.metrics_str}")
+        early_stopping = EarlyStopping(metric="NDCG@10",
+                                       patience=self.config.early_stop)
+        epoch_start = time.perf_counter()
+        for epoch in range(self.config.epochs):
+            loss = self._train_epoch(epoch)
+            cur_result = self.evaluate()
+            elapsed = time.perf_counter() - epoch_start
+            epoch_start = time.perf_counter()
+            loss_str = f"loss={loss:.5f} [{elapsed:.2f}s]" if loss is not None else ""
+            self.logger.info(f"epoch {epoch}:".ljust(12)
+                             + f"\t{cur_result.values_str}\t{loss_str}")
+            if early_stopping(cur_result):
+                self.logger.info("early stop")
+                break
+        self.logger.info("best:".ljust(12)
+                         + f"\t{early_stopping.best_result.values_str}")
+        return early_stopping.best_result
+
+    def _train_epoch(self, epoch: int) -> Optional[float]:
+        raise NotImplementedError

@@ -1,0 +1,181 @@
+"""Whole-epoch on-device training pipelines.
+
+This is the TPU-first replacement for the reference's hot loop
+(PairwiseIterator → numpy → torch.from_numpy().to(device) per batch,
+BPRMF.py:108-127 / data_iterator.py:226-234): the entire epoch — shuffle
+permutation, per-example negative sampling with exclusion, batching, and the
+`lax.scan` over train steps — is ONE jitted XLA program. The host submits a
+single call per epoch; nothing crosses the host↔device boundary in the loop.
+
+Per-epoch negative resampling semantics are preserved (fresh fold-in of the
+epoch index into the PRNG key each epoch).
+"""
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.dataset import ImplicitFeedback
+from ..ops.sampling import sample_negatives
+
+__all__ = ["PairwiseEpochPipeline", "InteractionEpochPipeline",
+           "UserVecEpochPipeline", "pad_to_batches"]
+
+
+def pad_to_batches(arr: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad axis 0 up to a multiple of batch_size (repeating row 0) and return
+    (padded, weights) where weights is 1.0 for real rows, 0.0 for padding."""
+    n = len(arr)
+    n_batches = max(math.ceil(n / batch_size), 1)
+    padded_n = n_batches * batch_size
+    weights = np.zeros(padded_n, dtype=np.float32)
+    weights[:n] = 1.0
+    if padded_n == n:
+        return arr, weights
+    pad = np.repeat(arr[:1], padded_n - n, axis=0)
+    return np.concatenate([arr, pad], axis=0), weights
+
+
+class PairwiseEpochPipeline:
+    """(user, pos_item, neg_items, weight) batches for BPR-style models.
+
+    ``train_step(carry, batch) -> (carry, loss)`` where
+    batch = (users (B,), pos (B,), neg (B, num_neg), weight (B,)).
+    ``carry`` is whatever the model threads through (params, opt_state, ...).
+    """
+
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int,
+                 num_neg: int = 1, num_trials: int = 8,
+                 extra_cols: Optional[Tuple[np.ndarray, ...]] = None):
+        pairs = train_data.to_user_item_pairs()
+        pp = train_data.to_padded_positive_table()
+        self.num_items = train_data.num_items
+        self.num_neg = num_neg
+        self.num_trials = num_trials
+        self.batch_size = batch_size
+
+        users, self._weights = pad_to_batches(pairs[:, 0], batch_size)
+        pos, _ = pad_to_batches(pairs[:, 1], batch_size)
+        self.num_batches = len(users) // batch_size
+        self.num_examples = len(pairs)
+        self._users = jnp.asarray(users)
+        self._pos = jnp.asarray(pos)
+        self._w = jnp.asarray(self._weights)
+        self._pos_table = jnp.asarray(pp.table)
+        self._extra = tuple(jnp.asarray(pad_to_batches(c, batch_size)[0])
+                            for c in (extra_cols or ()))
+        self._compiled = {}
+
+    def run_epoch(self, key: jax.Array, carry, train_step: Callable):
+        """Run one full epoch on device; returns (carry, mean_loss)."""
+        fn = self._compiled.get(train_step)
+        if fn is None:
+            fn = jax.jit(partial(self._epoch_impl, train_step))
+            self._compiled[train_step] = fn
+        carry, loss = fn(key, carry, self._users, self._pos, self._w,
+                         self._pos_table, *self._extra)
+        return carry, loss
+
+    def _epoch_impl(self, train_step, key, carry, users, pos, w, pos_table,
+                    *extra):
+        k_perm, k_neg = jax.random.split(key)
+        s = users.shape[0]
+        perm = jax.random.permutation(k_perm, s)
+        users, pos, w = users[perm], pos[perm], w[perm]
+        extra = tuple(e[perm] for e in extra)
+        neg = sample_negatives(k_neg, users, pos_table, self.num_items,
+                               self.num_neg, self.num_trials)
+        nb, b = self.num_batches, self.batch_size
+        batch_data = (users.reshape(nb, b), pos.reshape(nb, b),
+                      neg.reshape(nb, b, self.num_neg), w.reshape(nb, b),
+                      *(e.reshape((nb, b) + e.shape[1:]) for e in extra))
+
+        def body(c, batch):
+            c, loss = train_step(c, batch)
+            return c, loss
+
+        carry, losses = jax.lax.scan(body, carry, batch_data)
+        return carry, jnp.mean(losses)
+
+
+class InteractionEpochPipeline:
+    """(user, pos_item, weight) batches — no negatives (SelfCF/BM3/SLMRec
+    style, reference InteractionIterator)."""
+
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int):
+        pairs = train_data.to_user_item_pairs()
+        self.batch_size = batch_size
+        users, self._weights = pad_to_batches(pairs[:, 0], batch_size)
+        pos, _ = pad_to_batches(pairs[:, 1], batch_size)
+        self.num_batches = len(users) // batch_size
+        self.num_examples = len(pairs)
+        self._users = jnp.asarray(users)
+        self._pos = jnp.asarray(pos)
+        self._w = jnp.asarray(self._weights)
+        self._compiled = {}
+
+    def run_epoch(self, key: jax.Array, carry, train_step: Callable):
+        fn = self._compiled.get(train_step)
+        if fn is None:
+            fn = jax.jit(partial(self._epoch_impl, train_step))
+            self._compiled[train_step] = fn
+        return fn(key, carry, self._users, self._pos, self._w)
+
+    def _epoch_impl(self, train_step, key, carry, users, pos, w):
+        perm = jax.random.permutation(key, users.shape[0])
+        users, pos, w = users[perm], pos[perm], w[perm]
+        nb, b = self.num_batches, self.batch_size
+        batch_data = (users.reshape(nb, b), pos.reshape(nb, b), w.reshape(nb, b))
+
+        def body(c, batch):
+            c, loss = train_step(c, batch)
+            return c, loss
+
+        carry, losses = jax.lax.scan(body, carry, batch_data)
+        return carry, jnp.mean(losses)
+
+
+class UserVecEpochPipeline:
+    """(user_ids, dense user-vector rows, weight) batches for autoencoder /
+    VAE models (reference UserVecIterator). The dense (U, N) interaction
+    matrix lives in device HBM once; batches are gathered on device."""
+
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int):
+        self.batch_size = batch_size
+        csr = train_data.to_csr_matrix()
+        dense = np.asarray(csr.todense(), dtype=np.float32)
+        users = np.arange(train_data.num_users, dtype=np.int32)
+        users, self._weights = pad_to_batches(users, batch_size)
+        self.num_batches = len(users) // batch_size
+        self.num_examples = train_data.num_users
+        self._users = jnp.asarray(users)
+        self._w = jnp.asarray(self._weights)
+        self._mat = jnp.asarray(dense)
+        self._compiled = {}
+
+    def run_epoch(self, key: jax.Array, carry, train_step: Callable):
+        fn = self._compiled.get(train_step)
+        if fn is None:
+            fn = jax.jit(partial(self._epoch_impl, train_step))
+            self._compiled[train_step] = fn
+        return fn(key, carry, self._users, self._w, self._mat)
+
+    def _epoch_impl(self, train_step, key, carry, users, w, mat):
+        k_perm, k_step = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, users.shape[0])
+        users, w = users[perm], w[perm]
+        nb, b = self.num_batches, self.batch_size
+        step_keys = jax.random.split(k_step, nb)
+        batch_data = (users.reshape(nb, b), w.reshape(nb, b), step_keys)
+
+        def body(c, batch):
+            u, wt, k = batch
+            rows = mat[u]
+            c, loss = train_step(c, (u, rows, wt, k))
+            return c, loss
+
+        carry, losses = jax.lax.scan(body, carry, batch_data)
+        return carry, jnp.mean(losses)

@@ -73,6 +73,11 @@ class Config:
             out[key] = getattr(self, key)
         return out
 
+    def to_string(self, sep: str = ", ") -> str:
+        """``key=value`` pairs joined by ``sep`` (used for run-id slugs and
+        hyper-parameter log blocks, reference base.py:40, :57)."""
+        return sep.join(f"{k}={v}" for k, v in self.to_dict().items())
+
     def __str__(self):
         items = ", ".join(f"{k}={v!r}" for k, v in self.to_dict().items())
         return f"{type(self).__name__}({items})"
