@@ -1,0 +1,13 @@
+from .mesh import (make_mesh, data_sharding, model_row_sharding, replicated,
+                   shard_params_for_mf, DATA_AXIS, MODEL_AXIS, P, Mesh,
+                   NamedSharding)
+from .topk_merge import sharded_topk_scores, local_then_global_topk
+from .distributed import initialize_distributed, is_multi_host, process_index
+
+__all__ = [
+    "make_mesh", "data_sharding", "model_row_sharding", "replicated",
+    "shard_params_for_mf", "DATA_AXIS", "MODEL_AXIS", "P", "Mesh",
+    "NamedSharding",
+    "sharded_topk_scores", "local_then_global_topk",
+    "initialize_distributed", "is_multi_host", "process_index",
+]
