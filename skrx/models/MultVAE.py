@@ -1,0 +1,172 @@
+"""MultVAE — variational autoencoder with multinomial likelihood.
+
+Paper: Liang et al., "Variational Autoencoders for Collaborative Filtering"
+(WWW 2018).
+
+Behavioral parity with reference skrec/recommender/MultVAE.py:24-220:
+L2-normalized + dropout input, tanh q/p MLPs with normal(0.01) init, split
+mu/logvar head, reparameterization during training only, multinomial
+log-likelihood + KL annealed by min(cap, step/anneal_steps), weight reg
+2*reg*l2_loss, Adam. TPU re-design: the dense user-interaction matrix lives
+in HBM and the whole epoch (gather rows, dropout, forward/backward) is one
+jitted `lax.scan` (skrx/models/pipeline.py UserVecEpochPipeline).
+"""
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import get_initializer
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .base import JaxRecommender
+from .pipeline import UserVecEpochPipeline
+
+__all__ = ["MultVAE", "MultVAEConfig"]
+
+
+class MultVAEConfig(ModelConfig):
+    lr: float = 1e-3
+    reg: float = 0.0
+    p_dims: Optional[List[int]] = None   # decoder dims (latent -> ... ), default [64]
+    q_dims: Optional[List[int]] = None   # encoder dims; None => symmetric
+    keep_prob: float = 0.5
+    anneal_steps: int = 200000
+    anneal_cap: float = 0.2
+    batch_size: int = 256
+    epochs: int = 1000
+    early_stop: int = 200
+
+    def _validate(self):
+        if self.p_dims is None:
+            self.p_dims = [64]
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.reg, float) and self.reg >= 0
+        assert isinstance(self.p_dims, list)
+        assert self.q_dims is None or isinstance(self.q_dims, list)
+        assert isinstance(self.keep_prob, float) and self.keep_prob >= 0
+        assert isinstance(self.anneal_steps, int) and self.anneal_steps >= 0
+        assert isinstance(self.anneal_cap, float) and self.anneal_cap >= 0
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+        assert isinstance(self.epochs, int) and self.epochs >= 0
+        assert isinstance(self.early_stop, int)
+
+
+def _init_mlp(key, dims, init):
+    layers = []
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        key, k_w, k_b = jax.random.split(key, 3)
+        layers.append({"w": init(k_w, (d_in, d_out)), "b": init(k_b, (d_out,))})
+    return layers
+
+
+class MultVAE(JaxRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = MultVAEConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
+
+        self.p_dims = list(cfg.p_dims) + [self.num_items]
+        if cfg.q_dims is None:
+            self.q_dims = self.p_dims[::-1]
+        else:
+            q_dims = [self.num_items] + list(cfg.q_dims)
+            assert q_dims[0] == self.p_dims[-1], \
+                "Input and output dimension must equal each other for autoencoders."
+            assert q_dims[-1] == self.p_dims[0], \
+                "Latent dimension for p- and q-network mismatches."
+            self.q_dims = q_dims
+
+        init = get_initializer("normal")
+        key = jax.random.key(run_config.seed)
+        k_q, k_p = jax.random.split(key)
+        # Final q layer outputs 2x latent (mu, logvar), MultVAE.py:70-74.
+        q_dims_full = self.q_dims[:-1] + [self.q_dims[-1] * 2]
+        self.params = {"q": _init_mlp(k_q, q_dims_full, init),
+                       "p": _init_mlp(k_p, self.p_dims, init)}
+        self.optimizer = optax.adam(cfg.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self.pipeline = UserVecEpochPipeline(self.dataset.train_data,
+                                             cfg.batch_size)
+        self._rng = jax.random.key(run_config.seed + 1)
+
+        keep_prob = cfg.keep_prob
+        anneal_steps, anneal_cap, reg = cfg.anneal_steps, cfg.anneal_cap, cfg.reg
+        latent = self.q_dims[-1]
+
+        def encode(p, x, key, training):
+            h = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+            if training and keep_prob < 1.0:
+                mask = jax.random.bernoulli(key, keep_prob, h.shape)
+                h = jnp.where(mask, h / keep_prob, 0.0)
+            n_layers = len(p["q"])
+            for i, layer in enumerate(p["q"]):
+                h = h @ layer["w"] + layer["b"]
+                if i != n_layers - 1:
+                    h = jnp.tanh(h)
+            mu, logvar = h[:, :latent], h[:, latent:]
+            return mu, logvar
+
+        def decode(p, z):
+            h = z
+            n_layers = len(p["p"])
+            for i, layer in enumerate(p["p"]):
+                h = h @ layer["w"] + layer["b"]
+                if i != n_layers - 1:
+                    h = jnp.tanh(h)
+            return h
+
+        def loss_fn(p, batch, anneal):
+            users, rows, w, key = batch
+            k_drop, k_eps = jax.random.split(key)
+            mu, logvar = encode(p, rows, k_drop, training=True)
+            std = jnp.exp(0.5 * logvar)
+            eps = jax.random.normal(k_eps, std.shape)
+            z = mu + eps * std
+            logits = decode(p, z)
+            log_softmax = jax.nn.log_softmax(logits, axis=-1)
+            n_valid = jnp.maximum(jnp.sum(w), 1.0)
+            neg_ll = -jnp.sum(jnp.sum(log_softmax * rows, axis=-1) * w) / n_valid
+            kl = jnp.sum(jnp.sum(
+                0.5 * (-logvar + jnp.exp(logvar) + mu ** 2 - 1.0), axis=1) * w) \
+                / n_valid
+            reg_var = 0.5 * sum(jnp.sum(l["w"] ** 2)
+                                for l in p["q"] + p["p"]) * reg
+            return neg_ll + anneal * kl + 2.0 * reg_var
+
+        def train_step(carry, batch):
+            params, opt_state, count = carry
+            if anneal_steps > 0:
+                anneal = jnp.minimum(anneal_cap, count / anneal_steps)
+            else:
+                anneal = anneal_cap
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, anneal)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, count + 1.0), loss
+
+        self._train_step = train_step
+        self._update_count = jnp.asarray(0.0)
+
+        @jax.jit
+        def predict_fn(p, rows):
+            mu, _ = encode(p, rows, jax.random.key(0), training=False)
+            return decode(p, mu)  # eval-mode: z = mu (float(training)=0)
+
+        self._predict_fn = predict_fn
+
+    def _train_epoch(self, epoch: int) -> float:
+        key = jax.random.fold_in(self._rng, epoch)
+        carry = (self.params, self.opt_state, self._update_count)
+        (self.params, self.opt_state, self._update_count), loss = \
+            self.pipeline.run_epoch(key, carry, self._train_step)
+        return float(loss)
+
+    def predict(self, users) -> jnp.ndarray:
+        users = np.asarray(users, dtype=np.int32)
+        rows = self.pipeline._mat[jnp.asarray(users)]
+        return self._predict_fn(self.params, rows)

@@ -1,0 +1,101 @@
+"""TransRec — translation-based sequential recommendation.
+
+Paper: He & McAuley, "Translation-based Recommendation" (RecSys 2017).
+
+Behavioral parity with reference skrec/recommender/TransRec.py:23-157:
+zero-init user embeddings + normal global transition vector + normal item
+embeddings + zero item bias; score = -||u + T + e_last - e_i|| + b_i; summed
+BPR + L2 reg, Adam; predict translates from each user's last training item.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import bpr_loss, euclidean_distance, get_initializer
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .common import EpochTrainedRecommender, make_train_step
+from .pipeline import SequentialPairwiseEpochPipeline
+
+__all__ = ["TransRec", "TransRecConfig"]
+
+
+class TransRecConfig(ModelConfig):
+    lr: float = 1e-3
+    reg: float = 1e-3
+    embed_size: int = 64
+    batch_size: int = 1024
+    epochs: int = 1000
+    early_stop: int = 200
+
+    def _validate(self):
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.reg, float) and self.reg >= 0
+        assert isinstance(self.embed_size, int) and self.embed_size > 0
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+        assert isinstance(self.epochs, int) and self.epochs >= 0
+        assert isinstance(self.early_stop, int)
+
+
+class TransRec(EpochTrainedRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = TransRecConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
+        self.user_pos_dict = self.dataset.train_data.to_user_dict_by_time()
+
+        init = get_initializer("normal")
+        keys = jax.random.split(jax.random.key(run_config.seed), 2)
+        d = cfg.embed_size
+        self.params = {
+            "user_emb": jnp.zeros((self.num_users, d), jnp.float32),
+            "item_emb": init(keys[0], (self.num_items, d)),
+            "trans": init(keys[1], (1, d)),
+            "item_bias": jnp.zeros((self.num_items,), jnp.float32),
+        }
+        self.optimizer = optax.adam(cfg.lr)
+        self.pipeline = SequentialPairwiseEpochPipeline(
+            self.dataset.train_data, cfg.batch_size, num_previous=1, num_next=1)
+        reg = cfg.reg
+
+        def loss_fn(p, batch):
+            users, pos, neg, w, prev = batch
+            neg = neg[:, 0]
+            last = prev[:, 0]
+            translated = p["user_emb"][users] + p["trans"] + p["item_emb"][last]
+            y_pos = -euclidean_distance(translated, p["item_emb"][pos]) \
+                + p["item_bias"][pos]
+            y_neg = -euclidean_distance(translated, p["item_emb"][neg]) \
+                + p["item_bias"][neg]
+            loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
+            reg_term = 0.5 * (jnp.sum(jnp.sum(
+                p["user_emb"][users] ** 2 + p["item_emb"][last] ** 2
+                + p["item_emb"][pos] ** 2 + p["item_emb"][neg] ** 2, -1) * w)
+                + jnp.sum(p["trans"] ** 2)
+                + jnp.sum((p["item_bias"][pos] ** 2 + p["item_bias"][neg] ** 2) * w))
+            return loss + reg * reg_term
+
+        self._train_step = make_train_step(self.optimizer, loss_fn)
+        self._finalize_setup(run_config.seed)
+
+        last_items = np.zeros(self.num_users, dtype=np.int32)
+        for u, seq in self.user_pos_dict.items():
+            last_items[u] = seq[-1]
+        self._last_items = jnp.asarray(last_items)
+
+        @jax.jit
+        def predict_fn(p, users):
+            translated = (p["user_emb"][users] + p["trans"]
+                          + p["item_emb"][self._last_items[users]])
+            # -||t - e_i|| for the whole catalog: (B, 1, D) vs (N, D)
+            dists = jnp.sqrt(jnp.sum(
+                (translated[:, None, :] - p["item_emb"][None, :, :]) ** 2,
+                -1) + 1e-12)
+            return -dists + p["item_bias"][None, :]
+
+        self._predict_fn = predict_fn

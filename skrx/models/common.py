@@ -1,0 +1,62 @@
+"""Shared plumbing for JAX models: optimizer step factory and a base class
+that wires params/opt_state/pipeline into the epoch harness.
+
+This factors out what every reference model re-implements inline
+(the zero_grad/backward/step loop, e.g. BPRMF.py:125-127) into one
+train-step builder used by the whole zoo.
+"""
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+import optax
+
+from .base import JaxRecommender
+
+__all__ = ["make_train_step", "EpochTrainedRecommender"]
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    loss_fn: Callable):
+    """Build ``(carry, batch) -> (carry, loss)`` from a pure loss function
+    ``loss_fn(params, batch)`` (or ``loss_fn(params, batch, key)`` when the
+    batch tuple carries a PRNG key last)."""
+
+    def train_step(carry, batch):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    return train_step
+
+
+class EpochTrainedRecommender(JaxRecommender):
+    """Base for models trained by a whole-epoch device pipeline.
+
+    Subclass contract: after ``super().__init__`` the subclass sets
+    ``self.params``, ``self.optimizer``, ``self.pipeline``,
+    ``self._train_step`` (via :func:`make_train_step`), and ``self._rng``.
+    """
+
+    params = None
+    optimizer = None
+    pipeline = None
+    _train_step = None
+    _rng = None
+
+    def _finalize_setup(self, run_seed: int):
+        self.opt_state = self.optimizer.init(self.params)
+        self._rng = jax.random.key(run_seed + 1)
+
+    def _train_epoch(self, epoch: int) -> Optional[float]:
+        key = jax.random.fold_in(self._rng, epoch)
+        (self.params, self.opt_state), loss = self.pipeline.run_epoch(
+            key, (self.params, self.opt_state), self._train_step)
+        return float(loss)
+
+    def predict(self, users):
+        import jax.numpy as jnp
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return self._predict_fn(self.params, users)

@@ -89,7 +89,8 @@ class PairwiseEpochPipeline:
         neg = sample_negatives(k_neg, users, pos_table, self.num_items,
                                self.num_neg, self.num_trials)
         nb, b = self.num_batches, self.batch_size
-        batch_data = (users.reshape(nb, b), pos.reshape(nb, b),
+        batch_data = (users.reshape(nb, b),
+                      pos.reshape((nb, b) + pos.shape[1:]),
                       neg.reshape(nb, b, self.num_neg), w.reshape(nb, b),
                       *(e.reshape((nb, b) + e.shape[1:]) for e in extra))
 
@@ -99,6 +100,47 @@ class PairwiseEpochPipeline:
 
         carry, losses = jax.lax.scan(body, carry, batch_data)
         return carry, jnp.mean(losses)
+
+
+class SequentialPairwiseEpochPipeline(PairwiseEpochPipeline):
+    """Prefix-expanded sequential examples: batch =
+    (users (B,), pos_next (B,[num_next]), neg_next (B, num_next), weight,
+    prev_items (B, num_previous)).
+
+    Mirrors the reference SequentialPairwiseIterator semantics
+    (data_iterator.py:293-335): one example per chronological prefix of each
+    user's sequence, negatives excluded against ALL of the user's positives,
+    resampled every epoch — but built once host-side and iterated fully on
+    device.
+    """
+
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int,
+                 num_previous: int = 1, num_next: int = 1,
+                 pad: Optional[int] = None, num_trials: int = 8):
+        from ..io.data_iterator import _generate_time_order_positive_items
+
+        user_pos_dict = train_data.to_user_dict_by_time()
+        _, users, prev_items, next_items = _generate_time_order_positive_items(
+            user_pos_dict, num_previous=num_previous, num_next=num_next,
+            pad=pad)
+        pp = train_data.to_padded_positive_table()
+        self.num_items = train_data.num_items
+        self.num_neg = num_next  # one negative per next-item slot
+        self.num_trials = num_trials
+        self.batch_size = batch_size
+
+        pos = next_items if num_next > 1 else next_items[:, 0]
+        users_p, self._weights = pad_to_batches(users, batch_size)
+        pos_p, _ = pad_to_batches(pos, batch_size)
+        prev_p, _ = pad_to_batches(prev_items, batch_size)
+        self.num_batches = len(users_p) // batch_size
+        self.num_examples = len(users)
+        self._users = jnp.asarray(users_p)
+        self._pos = jnp.asarray(pos_p)
+        self._w = jnp.asarray(self._weights)
+        self._pos_table = jnp.asarray(pp.table)
+        self._extra = (jnp.asarray(prev_p),)
+        self._compiled = {}
 
 
 class InteractionEpochPipeline:
@@ -147,7 +189,8 @@ class UserVecEpochPipeline:
         self.batch_size = batch_size
         csr = train_data.to_csr_matrix()
         dense = np.asarray(csr.todense(), dtype=np.float32)
-        users = np.arange(train_data.num_users, dtype=np.int32)
+        # only users with interactions (reference MultVAE.py:170 / CDAE.py:168)
+        users = np.nonzero(dense.sum(axis=1) > 0)[0].astype(np.int32)
         users, self._weights = pad_to_batches(users, batch_size)
         self.num_batches = len(users) // batch_size
         self.num_examples = train_data.num_users

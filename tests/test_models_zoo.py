@@ -1,0 +1,62 @@
+"""Zoo smoke tests: every model trains a few epochs on synthetic data,
+produces finite metrics, honors the predict contract, and (where it learns)
+does better than chance.
+
+Grows as models land; parity with the reference registry contract
+(<Name> + <Name>Config exported from skrx.models.<Name>).
+"""
+import importlib
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skrx import RunConfig
+from skrx.utils import ModelRegistry
+
+# (name, params) — params sized for fast CI on the tiny synthetic dataset.
+ZOO = [
+    ("Pop", {}),
+    ("BPRMF", dict(lr=0.01, reg=0.01, n_dim=16, batch_size=256, epochs=3,
+                   early_stop=3)),
+    ("FPMC", dict(lr=0.01, reg=0.01, embed_size=16, batch_size=256, epochs=3,
+                  early_stop=3)),
+    ("TransRec", dict(lr=0.01, reg=0.01, embed_size=16, batch_size=256,
+                      epochs=3, early_stop=3)),
+    ("MultVAE", dict(lr=0.01, p_dims=[16], batch_size=64, epochs=3,
+                     early_stop=3)),
+    ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=16, batch_size=64, epochs=3,
+                  early_stop=3)),
+]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from skrx.io import synthetic
+    root = tmp_path_factory.mktemp("zoo")
+    return synthetic.make_dataset_dir(str(root), num_users=60, num_items=100,
+                                      num_ratings=1800, seed=5,
+                                      latent_dim=4, latent_strength=6.0)
+
+
+def _cfg(data_dir, name):
+    return RunConfig(recommender=name, data_dir=data_dir, file_column="UIRT",
+                     sep="\t", metric=("Recall", "NDCG"), top_k=(10,),
+                     test_batch_size=32, seed=2021)
+
+
+@pytest.mark.parametrize("name,params", ZOO, ids=[z[0] for z in ZOO])
+def test_model_smoke(name, params, data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    registry = ModelRegistry()
+    assert registry.load_skrx_model(name), f"registry failed to load {name}"
+    model_cls, config_cls = registry.get_model(name)
+    model = model_cls(_cfg(data_dir, name), params)
+    result = model.fit()
+    assert np.isfinite(result["NDCG@10"])
+    assert result["NDCG@10"] >= 0.0
+
+    scores = np.asarray(model.predict([0, 1, 2]))
+    assert scores.shape == (3, model.dataset.num_items)
+    assert np.isfinite(scores).all()
