@@ -1,0 +1,183 @@
+"""LightGCL — graph contrastive learning with SVD-augmented views.
+
+Paper: Cai et al., "LightGCL: Simple Yet Effective Graph Contrastive Learning
+for Recommendation" (ICLR 2023).
+
+Behavioral parity with reference skrec/recommender/LightGCL.py:24-250:
+bipartite R normalized by 1/sqrt(rowDeg*colDeg); cross propagation
+Z_u[l] = R E_i[l-1], Z_i[l] = R^T E_u[l-1]; rank-q SVD branch
+G_u[l] = (U S)(V^T E_i[l-1]); layer sums (including layer 0); InfoNCE-style
+CL between the SVD view and the GCN view with +-5 clamped positive logits;
+mean BPR; lambda2 * sum of squared param norms; Adam. ``torch.svd_lowrank``
+becomes scipy.sparse.linalg.svds host-side (one-time).
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.sparse as sp
+from scipy.sparse.linalg import svds
+
+from ..ops import get_initializer
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .common import EpochTrainedRecommender, make_train_step
+from .pipeline import PairwiseEpochPipeline
+
+__all__ = ["LightGCL", "LightGCLConfig"]
+
+
+class LightGCLConfig(ModelConfig):
+    lr: float = 1e-3
+    lambda1: float = 0.2     # CL loss weight
+    d: int = 64
+    gnn_layer: int = 2
+    batch_size: int = 2048
+    svd_q: int = 5
+    dropout: float = 0.0
+    temp: float = 0.2
+    lambda2: float = 1e-7    # L2 reg weight
+    epochs: int = 500
+    early_stop: int = 100
+
+    def _validate(self):
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.lambda1, float) and self.lambda1 >= 0
+        assert isinstance(self.d, int) and self.d > 0
+        assert isinstance(self.gnn_layer, int) and self.gnn_layer > 0
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+        assert isinstance(self.svd_q, int) and self.svd_q > 0
+        assert isinstance(self.dropout, float) and self.dropout >= 0
+        assert isinstance(self.temp, float) and self.temp > 0
+        assert isinstance(self.lambda2, float) and self.lambda2 >= 0
+
+
+class LightGCL(EpochTrainedRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = LightGCLConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
+
+        coo = self.dataset.train_data.to_coo_matrix().astype(np.float64)
+        coo.data[:] = 1.0
+        row_deg = np.asarray(coo.sum(axis=1)).flatten()
+        col_deg = np.asarray(coo.sum(axis=0)).flatten()
+        norm_data = coo.data / np.sqrt(
+            np.maximum(row_deg[coo.row] * col_deg[coo.col], 1e-12))
+        adj = sp.coo_matrix((norm_data, (coo.row, coo.col)), shape=coo.shape)
+
+        # rank-q SVD of the normalized bipartite adjacency (host, one-time)
+        q = min(cfg.svd_q, min(adj.shape) - 1)
+        svd_u, s, svd_vt = svds(adj.tocsc().astype(np.float64), k=q)
+        self._u_mul_s = jnp.asarray((svd_u * s).astype(np.float32))       # (U, q)
+        self._v_mul_s = jnp.asarray((svd_vt.T * s).astype(np.float32))    # (I, q)
+        self._ut = jnp.asarray(svd_u.T.astype(np.float32))                # (q, U)
+        self._vt = jnp.asarray(svd_vt.astype(np.float32))                 # (q, I)
+
+        self._e_row = jnp.asarray(coo.row.astype(np.int32))
+        self._e_col = jnp.asarray(coo.col.astype(np.int32))
+        self._e_w = jnp.asarray(norm_data.astype(np.float32))
+
+        init = get_initializer("xavier_uniform")
+        k_u, k_i = jax.random.split(jax.random.key(run_config.seed))
+        self.params = {"E_u_0": init(k_u, (self.num_users, cfg.d)),
+                       "E_i_0": init(k_i, (self.num_items, cfg.d))}
+        self.optimizer = optax.adam(cfg.lr)
+        self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
+                                              cfg.batch_size, num_neg=1)
+        n_layers, temp = cfg.gnn_layer, cfg.temp
+        lambda1, lambda2, dropout = cfg.lambda1, cfg.lambda2, cfg.dropout
+        num_users, num_items = self.num_users, self.num_items
+        e_row, e_col, e_w = self._e_row, self._e_col, self._e_w
+        u_mul_s, v_mul_s, ut, vt = (self._u_mul_s, self._v_mul_s, self._ut,
+                                    self._vt)
+
+        def prop_u(x_i, w):  # R @ x_i
+            return jax.ops.segment_sum(x_i[e_col] * w[:, None], e_row,
+                                       num_segments=num_users)
+
+        def prop_i(x_u, w):  # R^T @ x_u
+            return jax.ops.segment_sum(x_u[e_row] * w[:, None], e_col,
+                                       num_segments=num_items)
+
+        def forward(p, key=None):
+            e_u, e_i = p["E_u_0"], p["E_i_0"]
+            sum_eu, sum_ei = e_u, e_i
+            sum_gu, sum_gi = e_u, e_i
+            for _ in range(n_layers):
+                w = e_w
+                if key is not None and dropout > 0:
+                    key, sub = jax.random.split(key)
+                    keep = jax.random.bernoulli(sub, 1 - dropout, e_w.shape)
+                    w = jnp.where(keep, e_w / (1 - dropout), 0.0)
+                g_u = u_mul_s @ (vt @ e_i)
+                g_i = v_mul_s @ (ut @ e_u)
+                e_u, e_i = prop_u(e_i, w), prop_i(e_u, w)
+                sum_eu, sum_ei = sum_eu + e_u, sum_ei + e_i
+                sum_gu, sum_gi = sum_gu + g_u, sum_gi + g_i
+            return sum_eu, sum_ei, sum_gu, sum_gi
+
+        def loss_fn(p, batch, key):
+            users, pos, neg, w_b = batch
+            neg = neg[:, 0]
+            E_u, E_i, G_u, G_i = forward(p, key)
+
+            loss_s = 0.0
+            if lambda1 > 0:
+                iids = jnp.concatenate([pos, neg])
+                w_ii = jnp.concatenate([w_b, w_b])
+                n_u = jnp.maximum(jnp.sum(w_b), 1.0)
+                n_i = jnp.maximum(jnp.sum(w_ii), 1.0)
+                neg_score = jnp.sum(jnp.log(jnp.sum(
+                    jnp.exp(G_u[users] @ E_u.T / temp), 1) + 1e-8) * w_b) / n_u
+                neg_score += jnp.sum(jnp.log(jnp.sum(
+                    jnp.exp(G_i[iids] @ E_i.T / temp), 1) + 1e-8) * w_ii) / n_i
+                pos_score = jnp.sum(jnp.clip(
+                    jnp.sum(G_u[users] * E_u[users], 1) / temp, -5.0, 5.0) * w_b) / n_u
+                pos_score += jnp.sum(jnp.clip(
+                    jnp.sum(G_i[iids] * E_i[iids], 1) / temp, -5.0, 5.0) * w_ii) / n_i
+                loss_s = lambda1 * (-pos_score + neg_score)
+
+            y_pos = jnp.sum(E_u[users] * E_i[pos], -1)
+            y_neg = jnp.sum(E_u[users] * E_i[neg], -1)
+            n_valid = jnp.maximum(jnp.sum(w_b), 1.0)
+            loss_r = -jnp.sum(jax.nn.log_sigmoid(y_pos - y_neg) * w_b) / n_valid
+
+            loss_reg = lambda2 * (jnp.sum(p["E_u_0"] ** 2)
+                                  + jnp.sum(p["E_i_0"] ** 2))
+            return loss_r + loss_s + loss_reg
+
+        def train_step(carry, batch):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, sub)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        self._step_with_key = train_step
+        self.opt_state = self.optimizer.init(self.params)
+        self._rng = jax.random.key(run_config.seed + 1)
+
+        @jax.jit
+        def embeddings_fn(p):
+            E_u, E_i, _, _ = forward(p, None)
+            return E_u, E_i
+
+        self._embeddings_fn = embeddings_fn
+
+    def _train_epoch(self, epoch: int) -> float:
+        key = jax.random.fold_in(self._rng, epoch)
+        carry = (self.params, self.opt_state, key)
+        (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
+            key, carry, self._step_with_key)
+        return float(loss)
+
+    def predict(self, users) -> jnp.ndarray:
+        E_u, E_i = self._embeddings_fn(self.params)
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return E_u[users] @ E_i.T

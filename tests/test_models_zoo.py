@@ -28,6 +28,12 @@ ZOO = [
                      early_stop=3)),
     ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=16, batch_size=64, epochs=3,
                   early_stop=3)),
+    ("LightGCN", dict(lr=0.01, reg=0.001, embed_size=16, n_layers=2,
+                      batch_size=256, epochs=3, early_stop=3)),
+    ("SelfCF", dict(lr=0.01, embed_dim=16, n_layers=2, batch_size=256,
+                    epochs=3, early_stop=3)),
+    ("LightGCL", dict(lr=0.01, d=16, gnn_layer=2, svd_q=4, batch_size=256,
+                      epochs=3, early_stop=3)),
 ]
 
 
