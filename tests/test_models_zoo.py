@@ -34,6 +34,12 @@ ZOO = [
                     epochs=3, early_stop=3)),
     ("LightGCL", dict(lr=0.01, d=16, gnn_layer=2, svd_q=4, batch_size=256,
                       epochs=3, early_stop=3)),
+    ("LayerGCN", dict(lr=0.01, reg=0.001, embed_dim=16, n_layers=2,
+                      dropout=0.2, batch_size=256, epochs=4, early_stop=4)),
+    ("DENS", dict(lr=0.01, dim=16, context_hops=2, K=2, n_negs=3, ns="dens",
+                  batch_size=256, epochs=3, early_stop=3)),
+    ("DENS_dns", dict(lr=0.01, dim=16, context_hops=2, K=1, n_negs=3,
+                      ns="dns", batch_size=256, epochs=2, early_stop=2)),
 ]
 
 
@@ -55,6 +61,7 @@ def _cfg(data_dir, name):
 @pytest.mark.parametrize("name,params", ZOO, ids=[z[0] for z in ZOO])
 def test_model_smoke(name, params, data_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
+    name = name.split("_")[0]  # variant ids like DENS_dns -> model DENS
     registry = ModelRegistry()
     assert registry.load_skrx_model(name), f"registry failed to load {name}"
     model_cls, config_cls = registry.get_model(name)
