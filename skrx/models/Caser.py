@@ -1,0 +1,168 @@
+"""Caser — convolutional sequence embedding recommendation.
+
+Paper: Tang & Wang, "Personalized Top-N Sequential Recommendation via
+Convolutional Sequence Embedding" (WSDM 2018).
+
+Behavioral parity with reference skrec/recommender/Caser.py:26-227:
+horizontal convs of heights 1..L (nh filters each, relu + max-pool over
+positions) + vertical conv (nv filters over the L axis), fc1+relu, concat
+user embedding; per-item W2/b2 scoring; sigmoid-CE on seq_T positives vs
+seq_T negatives (mean); Adam with weight_decay=l2_reg; pad index = num_items
+with zero-frozen pad rows (padding_idx semantics emulated by masking the pad
+row in every lookup, which also zeroes its gradient).
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import get_initializer, sigmoid_cross_entropy
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .common import EpochTrainedRecommender, adam_l2, make_train_step
+from .pipeline import SequentialPairwiseEpochPipeline
+
+__all__ = ["Caser", "CaserConfig"]
+
+
+class CaserConfig(ModelConfig):
+    lr: float = 1e-3
+    l2_reg: float = 1e-6
+    embed_size: int = 64
+    seq_L: int = 5
+    seq_T: int = 3
+    nv: int = 4
+    nh: int = 16
+    dropout: float = 0.5
+    batch_size: int = 1024
+    epochs: int = 500
+    early_stop: int = 100
+
+    def _validate(self):
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.l2_reg, float) and self.l2_reg >= 0
+        assert isinstance(self.embed_size, int) and self.embed_size > 0
+        assert isinstance(self.seq_L, int) and self.seq_L > 0
+        assert isinstance(self.seq_T, int) and self.seq_T > 0
+        assert isinstance(self.nv, int) and self.nv > 0
+        assert isinstance(self.nh, int) and self.nh > 0
+        assert isinstance(self.dropout, float)
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+
+
+class Caser(EpochTrainedRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = CaserConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.pad_idx = self.dataset.num_items
+        n_items_pad = self.dataset.num_items + 1  # +1 pad row
+
+        init = get_initializer("normal")
+        keys = jax.random.split(jax.random.key(run_config.seed), 10)
+        d, L = cfg.embed_size, cfg.seq_L
+        fc1_in = cfg.nv * d + cfg.nh * L
+        he = get_initializer("he_uniform")
+        self.params = {
+            "user_emb": init(keys[0], (self.num_users, d)),
+            "item_emb": init(keys[1], (n_items_pad, d)),
+            "conv_v": he(keys[2], (L, 1, cfg.nv)),      # (h, w=1, out)
+            "conv_v_b": jnp.zeros((cfg.nv,)),
+            "conv_h": [he(keys[3 + i], (i + 1, d, cfg.nh)) for i in range(L)],
+            "conv_h_b": [jnp.zeros((cfg.nh,)) for _ in range(L)],
+            "fc1_w": he(keys[8], (fc1_in, d)),
+            "fc1_b": jnp.zeros((d,)),
+            "W2": init(keys[9], (n_items_pad, 2 * d)),
+            "b2": jnp.zeros((n_items_pad,)),
+        }
+        self.optimizer = adam_l2(cfg.lr, cfg.l2_reg)
+        self.pipeline = SequentialPairwiseEpochPipeline(
+            self.dataset.train_data, cfg.batch_size, num_previous=L,
+            num_next=cfg.seq_T, pad=self.pad_idx)
+
+        pad_idx, dropout, seq_T = self.pad_idx, cfg.dropout, cfg.seq_T
+        nv, nh = cfg.nv, cfg.nh
+
+        def pad_masked(table):
+            return table.at[pad_idx].set(0.0)  # padding_idx: frozen zero row
+
+        def forward_user(p, users, seqs, key=None):
+            item_embs = pad_masked(p["item_emb"])[seqs]   # (B, L, D)
+            user_emb = p["user_emb"][users]               # (B, D)
+
+            # vertical conv: (L,1) kernel over the L axis -> (B, nv, D)
+            out_v = jnp.einsum("bld,lkv->bvd", item_embs,
+                               p["conv_v"]) + p["conv_v_b"][None, :, None]
+            out_v = out_v.reshape(users.shape[0], nv * item_embs.shape[-1])
+
+            # horizontal convs of heights 1..L, full width, relu + max-pool
+            outs = []
+            for i in range(L):
+                k = p["conv_h"][i]                        # (i+1, D, nh)
+                h = i + 1
+                windows = jnp.stack([item_embs[:, j: j + h, :]
+                                     for j in range(L - h + 1)], axis=1)
+                conv = jnp.einsum("bwhd,hdn->bwn", windows, k) \
+                    + p["conv_h_b"][i]
+                conv = jax.nn.relu(conv)
+                outs.append(jnp.max(conv, axis=1))        # (B, nh)
+            out_h = jnp.concatenate(outs, axis=1)         # (B, nh*L)
+
+            out = jnp.concatenate([out_v, out_h], axis=1)
+            if key is not None and dropout > 0:
+                keep = jax.random.bernoulli(key, 1 - dropout, out.shape)
+                out = jnp.where(keep, out / (1 - dropout), 0.0)
+            z = jax.nn.relu(out @ p["fc1_w"] + p["fc1_b"])
+            return jnp.concatenate([z, user_emb], axis=1)  # (B, 2D)
+
+        self._forward_user = forward_user
+
+        def train_step(carry, batch):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                users, pos, neg, w, seqs = batch   # pos/neg: (B, seq_T)
+                x = forward_user(p, users, seqs, sub)          # (B, 2D)
+                W2 = pad_masked(p["W2"])
+                b2 = p["b2"].at[pad_idx].set(0.0)
+                items = jnp.concatenate([pos, neg], axis=1)    # (B, 2T)
+                w2 = W2[items]                                 # (B, 2T, 2D)
+                scores = jnp.einsum("btd,bd->bt", w2, x) + b2[items]
+                y_pos, y_neg = scores[:, :seq_T], scores[:, seq_T:]
+                loss = (sigmoid_cross_entropy(y_pos, jnp.ones_like(y_pos))
+                        + sigmoid_cross_entropy(y_neg, jnp.zeros_like(y_neg)))
+                return jnp.sum(jnp.mean(loss, axis=1) * w) / jnp.maximum(
+                    jnp.sum(w), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+            return (params, opt_state, key), loss
+
+        self._step_with_key = train_step
+        self.opt_state = self.optimizer.init(self.params)
+        self._rng = jax.random.key(run_config.seed + 1)
+
+        seq_table, _ = self.dataset.train_data.to_padded_seq_tensor(
+            L, pad_value=self.pad_idx)
+        self._seq_table = jnp.asarray(seq_table)
+
+        @jax.jit
+        def predict_fn(p, users):
+            seqs = self._seq_table[users]
+            x = forward_user(p, users, seqs, None)
+            W2 = pad_masked(p["W2"])
+            b2 = p["b2"].at[pad_idx].set(0.0)
+            return x @ W2.T + b2[None, :]
+
+        self._predict_fn = predict_fn
+
+    def _train_epoch(self, epoch: int) -> float:
+        key = jax.random.fold_in(self._rng, epoch)
+        carry = (self.params, self.opt_state, key)
+        (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
+            key, carry, self._step_with_key)
+        return float(loss)

@@ -1,0 +1,136 @@
+"""HGN — hierarchical gating networks for sequential recommendation.
+
+Paper: Ma et al., "Hierarchical Gating Networks for Sequential
+Recommendation" (KDD 2019).
+
+Behavioral parity with reference skrec/recommender/HGN.py:25-230: feature
+gate (sigmoid of item-linear + user-linear), instance gate (sigmoid of
+gated-item·w + user·W with per-position columns), instance-weighted mean;
+score = user·w2 + union·w2 + sum_l item_l·w2 + b2; summed BPR over seq_T
+positions; Adam with weight_decay=reg; pad index = num_items with
+zero-frozen pad rows.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import bpr_loss, get_initializer
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .common import EpochTrainedRecommender, adam_l2
+from .pipeline import SequentialPairwiseEpochPipeline
+
+__all__ = ["HGN", "HGNConfig"]
+
+
+class HGNConfig(ModelConfig):
+    lr: float = 1e-3
+    reg: float = 1e-3
+    seq_L: int = 5
+    seq_T: int = 3
+    embed_size: int = 64
+    batch_size: int = 1024
+    epochs: int = 1000
+    early_stop: int = 100
+
+    def _validate(self):
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.reg, float) and self.reg >= 0
+        assert isinstance(self.seq_L, int) and self.seq_L > 0
+        assert isinstance(self.seq_T, int) and self.seq_T > 0
+        assert isinstance(self.embed_size, int) and self.embed_size > 0
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+
+
+class HGN(EpochTrainedRecommender):
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        self.config = HGNConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.pad_idx = self.dataset.num_items
+        n_items_pad = self.dataset.num_items + 1
+
+        init = get_initializer("normal")
+        he = get_initializer("he_uniform")
+        xavier = get_initializer("xavier_uniform")
+        keys = jax.random.split(jax.random.key(run_config.seed), 8)
+        d, L = cfg.embed_size, cfg.seq_L
+        self.params = {
+            "user_emb": init(keys[0], (self.num_users, d)),
+            "item_emb": init(keys[1], (n_items_pad, d)),
+            "fg_item_w": he(keys[2], (d, d)), "fg_item_b": jnp.zeros((d,)),
+            "fg_user_w": he(keys[3], (d, d)), "fg_user_b": jnp.zeros((d,)),
+            "ig_item": xavier(keys[4], (d, 1)),
+            "ig_user": xavier(keys[5], (d, L)),
+            "W2": init(keys[6], (n_items_pad, d)),
+            "b2": jnp.zeros((n_items_pad,)),
+        }
+        self.optimizer = adam_l2(cfg.lr, cfg.reg)
+        self.pipeline = SequentialPairwiseEpochPipeline(
+            self.dataset.train_data, cfg.batch_size, num_previous=L,
+            num_next=cfg.seq_T, pad=self.pad_idx)
+        pad_idx, seq_T = self.pad_idx, cfg.seq_T
+
+        def pad_masked(table):
+            return table.at[pad_idx].set(0.0)
+
+        def forward_user(p, users, seqs):
+            item_embs = pad_masked(p["item_emb"])[seqs]       # (B, L, D)
+            user_emb = p["user_emb"][users]                   # (B, D)
+            gate = jax.nn.sigmoid(
+                item_embs @ p["fg_item_w"] + p["fg_item_b"]
+                + (user_emb @ p["fg_user_w"] + p["fg_user_b"])[:, None, :])
+            gated = item_embs * gate                          # (B, L, D)
+            term1 = (gated @ p["ig_item"])[..., 0]            # (B, L)
+            term2 = user_emb @ p["ig_user"]                   # (B, L)
+            inst = jax.nn.sigmoid(term1 + term2)
+            union = jnp.sum(gated * inst[..., None], axis=1) \
+                / jnp.sum(inst, axis=1, keepdims=True)
+            return user_emb, item_embs, union
+
+        def score_items(p, user_emb, item_embs, union, items):
+            W2 = pad_masked(p["W2"])
+            b2 = p["b2"].at[pad_idx].set(0.0)
+            w2 = W2[items]                                    # (B, T, D)
+            res = jnp.einsum("btd,bd->bt", w2, user_emb) + b2[items]
+            res += jnp.einsum("btd,bd->bt", w2, union)
+            res += jnp.einsum("bld,btd->bt", item_embs, w2)
+            return res
+
+        def loss_fn(p, batch):
+            users, pos, neg, w, seqs = batch
+            user_emb, item_embs, union = forward_user(p, users, seqs)
+            items = jnp.concatenate([pos, neg], axis=1)
+            scores = score_items(p, user_emb, item_embs, union, items)
+            y_pos, y_neg = scores[:, :seq_T], scores[:, seq_T:]
+            return jnp.sum(jnp.sum(bpr_loss(y_pos, y_neg), axis=1) * w)
+
+        def train_step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        self._train_step = train_step
+        self._finalize_setup(run_config.seed)
+
+        seq_table, _ = self.dataset.train_data.to_padded_seq_tensor(
+            L, pad_value=self.pad_idx)
+        self._seq_table = jnp.asarray(seq_table)
+
+        @jax.jit
+        def predict_fn(p, users):
+            seqs = self._seq_table[users]
+            user_emb, item_embs, union = forward_user(p, users, seqs)
+            W2 = pad_masked(p["W2"])
+            b2 = p["b2"].at[pad_idx].set(0.0)
+            res = user_emb @ W2.T + b2[None, :]
+            res += union @ W2.T
+            res += jnp.einsum("bld,nd->bn", item_embs, W2)
+            return res
+
+        self._predict_fn = predict_fn

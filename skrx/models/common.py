@@ -13,7 +13,17 @@ import optax
 
 from .base import JaxRecommender
 
-__all__ = ["make_train_step", "EpochTrainedRecommender"]
+__all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2"]
+
+
+def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """torch.optim.Adam with ``weight_decay``: L2 term added to the GRADIENT
+    before the Adam moments (unlike AdamW which decays after scaling)."""
+    if weight_decay == 0.0:
+        return optax.adam(lr)
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.scale_by_adam(),
+                       optax.scale(-lr))
 
 
 def make_train_step(optimizer: optax.GradientTransformation,

@@ -40,6 +40,10 @@ ZOO = [
                   batch_size=256, epochs=3, early_stop=3)),
     ("DENS_dns", dict(lr=0.01, dim=16, context_hops=2, K=1, n_negs=3,
                       ns="dns", batch_size=256, epochs=2, early_stop=2)),
+    ("Caser", dict(lr=0.01, embed_size=16, seq_L=4, seq_T=2, nv=2, nh=4,
+                   batch_size=256, epochs=3, early_stop=3)),
+    ("HGN", dict(lr=0.01, reg=0.001, seq_L=4, seq_T=2, embed_size=16,
+                 batch_size=256, epochs=3, early_stop=3)),
 ]
 
 
@@ -71,5 +75,7 @@ def test_model_smoke(name, params, data_dir, tmp_path, monkeypatch):
     assert result["NDCG@10"] >= 0.0
 
     scores = np.asarray(model.predict([0, 1, 2]))
-    assert scores.shape == (3, model.dataset.num_items)
+    # sequence models score num_items+1 columns (pad item), like the reference
+    assert scores.shape in ((3, model.dataset.num_items),
+                            (3, model.dataset.num_items + 1))
     assert np.isfinite(scores).all()
