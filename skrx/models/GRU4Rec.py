@@ -1,0 +1,294 @@
+"""GRU4Rec — session-based recommendation with GRUs.
+
+Paper: Hidasi et al., "Session-based Recommendations with Recurrent Neural
+Networks" (ICLR 2016).
+
+Behavioral parity with reference skrec/recommender/GRU4Rec.py:24-285:
+session-parallel minibatch walker over time-ordered user sequences with
+mid-epoch session replacement and per-row state resets; stacked GRU cells;
+in-batch negatives (logits = outputs @ E[Y]^T + b, diagonal = positives);
+TOP1 (with the -sigmoid(pos^2)/B correction) or BPR loss; truncated-normal
+(0.01) item tables, zero bias; Adam; per-step reg on the step's embeddings.
+
+TPU re-design: the walker *schedule* (in/out item ids + reset masks per
+step) is precomputed on host each epoch — an O(interactions) numpy pass that
+replicates the reference control flow exactly — and the whole epoch then
+runs as ONE jitted `lax.scan` whose carry is (params, opt_state, hidden
+states). Pad steps are skipped with `lax.cond` so the step count is bucketed
+to avoid recompilation. Prediction runs the GRU over every user's padded
+sequence in one batched scan.
+"""
+import math
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.rnn import gru_init, stacked_gru_step
+from ..run_config import RunConfig
+from ..utils import ModelConfig
+from .base import JaxRecommender
+
+__all__ = ["GRU4Rec", "GRU4RecConfig"]
+
+
+class GRU4RecConfig(ModelConfig):
+    lr: float = 0.001
+    reg: float = 0.0
+    layers: List[int] = None   # default [64]
+    batch_size: int = 128
+    loss: str = "top1"         # top1 | bpr
+    hidden_act: str = "tanh"   # relu | tanh
+    final_act: str = "linear"  # linear | relu | leaky_relu
+    epochs: int = 500
+    early_stop: int = 100
+
+    def _validate(self):
+        if self.layers is None:
+            self.layers = [64]
+        assert isinstance(self.lr, float) and self.lr > 0
+        assert isinstance(self.reg, float) and self.reg >= 0
+        assert isinstance(self.layers, list)
+        assert isinstance(self.batch_size, int) and self.batch_size > 0
+        assert self.loss in {"top1", "bpr"}
+        assert self.hidden_act in {"relu", "tanh"}
+        assert self.final_act in {"linear", "relu", "leaky_relu"}
+
+
+def build_walker_schedule(items: np.ndarray, offsets: np.ndarray,
+                          perm: np.ndarray, batch_size: int):
+    """Replicates the reference's session-parallel walker
+    (GRU4Rec.py:174-207) as precomputed per-step arrays:
+    (in_idx (T,B), out_idx (T,B), reset (T,B) bool)."""
+    b = batch_size
+    n_sessions = len(offsets) - 1
+    in_list, out_list, reset_list = [], [], []
+    iters = np.arange(b) % n_sessions
+    maxiter = min(b, n_sessions) - 1
+    start = offsets[perm[iters]].copy()
+    end = offsets[perm[iters] + 1].copy()
+    reset = np.ones(b, dtype=bool)
+    finished = False
+    while not finished:
+        min_len = int((end - start).min())
+        out_idx = items[start]
+        for i in range(min_len - 1):
+            in_idx = out_idx
+            out_idx = items[start + i + 1]
+            in_list.append(in_idx.copy())
+            out_list.append(out_idx.copy())
+            reset_list.append(reset.copy())
+            reset = np.zeros(b, dtype=bool)
+        start = start + min_len - 1
+        mask = np.where((end - start) <= 1)[0]
+        for idx in mask:
+            maxiter += 1
+            if maxiter >= n_sessions:
+                finished = True
+                break
+            iters[idx] = maxiter
+            start[idx] = offsets[perm[maxiter]]
+            end[idx] = offsets[perm[maxiter] + 1]
+        if len(mask):
+            reset[mask] = True
+    if not in_list:  # degenerate: all sessions length 1
+        return (np.zeros((0, b), np.int32), np.zeros((0, b), np.int32),
+                np.zeros((0, b), bool))
+    return (np.stack(in_list).astype(np.int32),
+            np.stack(out_list).astype(np.int32),
+            np.stack(reset_list))
+
+
+class GRU4Rec(JaxRecommender):
+    # Subclasses (GRU4RecPlus) override these hooks.
+    _extra_init_keys = 0
+
+    def __init__(self, run_config: RunConfig, model_config: Dict):
+        if not hasattr(self, "config"):
+            self.config = GRU4RecConfig(**model_config)
+        super().__init__(run_config, self.config)
+        cfg = self.config
+        self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
+
+        data_ui = self.dataset.train_data.to_user_item_pairs_by_time()
+        _, idx = np.unique(data_ui[:, 0], return_index=True)
+        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+        offsets[:-1] = np.sort(idx)
+        offsets[-1] = len(data_ui)
+        self._items_flat = data_ui[:, 1].astype(np.int32)
+        self._offsets = offsets
+        self._n_sessions = len(offsets) - 1
+
+        self._hidden_act = jnp.tanh if cfg.hidden_act == "tanh" else jax.nn.relu
+        if cfg.final_act == "linear":
+            self._final_act = lambda x: x
+        elif cfg.final_act == "relu":
+            self._final_act = jax.nn.relu
+        else:
+            self._final_act = lambda x: jnp.where(x > 0, x, 0.2 * x)
+
+        key = jax.random.key(run_config.seed)
+        keys = jax.random.split(key, 3 + len(cfg.layers))
+        l1, ln = cfg.layers[0], cfg.layers[-1]
+        tn = lambda k, shape: 0.01 * jax.random.truncated_normal(k, -2., 2., shape)
+        self.params = {
+            "input_emb": tn(keys[0], (self.num_items, l1)),
+            "item_emb": tn(keys[1], (self.num_items, ln)),
+            "item_bias": jnp.zeros((self.num_items,), jnp.float32),
+            "cells": [gru_init(keys[3 + i],
+                               l1 if i == 0 else cfg.layers[i - 1],
+                               cfg.layers[i])
+                      for i in range(len(cfg.layers))],
+        }
+        self._init_extra(keys[2])
+        self.optimizer = optax.adam(cfg.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self._rng_np = np.random.default_rng(run_config.seed)
+        self._build_epoch_fn()
+        self._build_predict_fn()
+
+    def _init_extra(self, key):
+        pass
+
+    # ---- loss on (B, size_y) logits with diagonal positives ----
+
+    def _loss_from_logits(self, logits):
+        b = logits.shape[0]
+        pos = jnp.diagonal(logits)[:, None]
+        if self.config.loss == "bpr":
+            return jnp.mean(-jax.nn.log_sigmoid(pos - logits))
+        loss1 = jnp.mean(jax.nn.sigmoid(logits - pos), axis=-1)
+        loss2 = jnp.mean(jax.nn.sigmoid(logits ** 2), axis=-1) \
+            - jax.nn.sigmoid(jnp.square(pos[:, 0])) / b
+        return jnp.mean(loss1 + loss2)
+
+    def _step_targets(self, p, out_idx, key):
+        """Y for this step (in-batch negatives only here; GRU4RecPlus adds
+        sampled negatives). Returns (item ids, None extra)."""
+        return out_idx
+
+    def _build_epoch_fn(self):
+        cfg = self.config
+        reg = cfg.reg
+        hidden_act = self._hidden_act
+        final_act = self._final_act
+
+        def step(carry, batch):
+            params, opt_state, states, key = carry
+            in_idx, out_idx, reset, valid = batch
+            key, sub = jax.random.split(key)
+            states = [s * (1.0 - reset[:, None]) for s in states]
+
+            def do_update(args):
+                params, opt_state, states = args
+
+                def loss_fn(p):
+                    x = p["input_emb"][in_idx]
+                    out, new_states = stacked_gru_step(p["cells"], x, states,
+                                                       hidden_act)
+                    y = self._step_targets(p, out_idx, sub)
+                    items_embed = p["item_emb"][y]
+                    items_bias = p["item_bias"][y]
+                    logits = final_act(out @ items_embed.T + items_bias)
+                    loss = self._loss_from_logits(logits)
+                    reg_term = 0.5 * (jnp.sum(x ** 2) + jnp.sum(items_embed ** 2)
+                                      + jnp.sum(items_bias ** 2))
+                    return loss + reg * reg_term, new_states
+
+                (loss, new_states), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, new_states, loss
+
+            def skip(args):
+                params, opt_state, states = args
+                return params, opt_state, states, 0.0
+
+            params, opt_state, states, loss = jax.lax.cond(
+                valid, do_update, skip, (params, opt_state, states))
+            return (params, opt_state, states, key), loss
+
+        @jax.jit
+        def run_epoch(params, opt_state, in_steps, out_steps, resets, valids,
+                      key):
+            b = in_steps.shape[1]
+            states = [jnp.zeros((b, n), jnp.float32) for n in cfg.layers]
+            (params, opt_state, _, _), losses = jax.lax.scan(
+                step, (params, opt_state, states, key),
+                (in_steps, out_steps, resets, valids))
+            n_valid = jnp.maximum(jnp.sum(valids), 1.0)
+            return params, opt_state, jnp.sum(losses) / n_valid
+
+        self._run_epoch = run_epoch
+
+    def _train_epoch(self, epoch: int) -> float:
+        perm = self._rng_np.permutation(self._n_sessions)
+        in_s, out_s, resets = build_walker_schedule(
+            self._items_flat, self._offsets, perm, self.config.batch_size)
+        t = len(in_s)
+        if t == 0:
+            return 0.0
+        # bucket the step count to limit recompilation
+        t_pad = max(64, int(2 ** math.ceil(math.log2(t))))
+        b = self.config.batch_size
+        pad = t_pad - t
+        in_s = np.concatenate([in_s, np.zeros((pad, b), np.int32)])
+        out_s = np.concatenate([out_s, np.zeros((pad, b), np.int32)])
+        resets = np.concatenate([resets, np.ones((pad, b), bool)])
+        valids = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
+        key = jax.random.fold_in(jax.random.key(
+            int(self._rng_np.integers(1 << 31))), epoch)
+        self.params, self.opt_state, loss = self._run_epoch(
+            self.params, self.opt_state, jnp.asarray(in_s), jnp.asarray(out_s),
+            jnp.asarray(resets.astype(np.float32)), jnp.asarray(valids), key)
+        return float(loss)
+
+    def _build_predict_fn(self):
+        cfg = self.config
+        hidden_act = self._hidden_act
+        user_pos = self.dataset.train_data.to_user_dict_by_time()
+        max_len = max((len(s) for s in user_pos.values()), default=1)
+        pad_id = 0  # masked anyway
+        seq = np.zeros((self.num_users, max_len), np.int32)
+        mask = np.zeros((self.num_users, max_len), np.float32)
+        for u, s in user_pos.items():
+            seq[u, : len(s)] = s
+            mask[u, : len(s)] = 1.0
+        self._pred_seq = jnp.asarray(seq)
+        self._pred_mask = jnp.asarray(mask)
+
+        @jax.jit
+        def user_embeddings(p, seqs, masks):
+            b = seqs.shape[0]
+            states = [jnp.zeros((b, n), jnp.float32) for n in cfg.layers]
+
+            def body(states, xs):
+                ids, m = xs
+                x = p["input_emb"][ids]
+                out, new_states = stacked_gru_step(p["cells"], x, states,
+                                                   hidden_act)
+                states = [jnp.where(m[:, None] > 0, ns, s)
+                          for ns, s in zip(new_states, states)]
+                return states, None
+
+            states, _ = jax.lax.scan(body, states,
+                                     (seqs.swapaxes(0, 1), masks.swapaxes(0, 1)))
+            return states[-1]
+
+        self._user_emb_fn = user_embeddings
+
+    def evaluate(self, test_users=None):
+        self._cur_user_emb = self._user_emb_fn(self.params, self._pred_seq,
+                                               self._pred_mask)
+        return super().evaluate(test_users)
+
+    def predict(self, users) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        ratings = (self._cur_user_emb[users] @ self.params["item_emb"].T
+                   + self.params["item_bias"][None, :])
+        return self._final_act(ratings)

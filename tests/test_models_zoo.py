@@ -44,6 +44,13 @@ ZOO = [
                    batch_size=256, epochs=3, early_stop=3)),
     ("HGN", dict(lr=0.01, reg=0.001, seq_L=4, seq_T=2, embed_size=16,
                  batch_size=256, epochs=3, early_stop=3)),
+    ("SASRec", dict(lr=0.01, hidden_units=16, max_len=10, num_blocks=1,
+                    num_heads=2, dropout_rate=0.2, batch_size=32, epochs=3,
+                    early_stop=3)),
+    ("GRU4Rec", dict(lr=0.01, layers=[16], batch_size=16, loss="top1",
+                     epochs=2, early_stop=2)),
+    ("GRU4RecPlus", dict(lr=0.01, layers=[16], batch_size=16, loss="bpr_max",
+                         n_sample=32, epochs=2, early_stop=2)),
 ]
 
 
