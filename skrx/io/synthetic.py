@@ -66,7 +66,10 @@ def make_dataset_dir(root: str, name: str = "synth",
                      split: str = "ratio",
                      columns: str = "UIRT",
                      latent_dim: int = 8,
-                     latent_strength: float = 3.0) -> str:
+                     latent_strength: float = 3.0,
+                     with_mm: bool = False,
+                     img_dim: int = 24,
+                     txt_dim: int = 16) -> str:
     """Generate, preprocess, split and save a dataset; returns its dir path
     (ready for :class:`skrx.io.RSDataset`)."""
     df = make_interactions(num_users, num_items, num_ratings, seed,
@@ -90,4 +93,15 @@ def make_dataset_dir(root: str, name: str = "synth",
         proc.split_data_by_leave_out(valid=1, test=1, by_time=by_time)
     else:
         raise ValueError(f"unknown split {split!r}")
-    return proc.save_data(root)
+    out_dir = proc.save_data(root)
+
+    if with_mm:
+        # item modality features (.img.npz/.txt.npz, reference MMData layout)
+        rng = np.random.default_rng(seed + 1)
+        n_items_final = proc.all_data["item"].nunique()
+        prefix = os.path.join(out_dir, os.path.basename(out_dir))
+        np.savez(prefix + ".img.npz",
+                 rng.standard_normal((n_items_final, img_dim)).astype(np.float32))
+        np.savez(prefix + ".txt.npz",
+                 rng.standard_normal((n_items_final, txt_dim)).astype(np.float32))
+    return out_dir

@@ -1,0 +1,61 @@
+"""Multimodal model family smoke tests (shared synthetic dataset with
+.img.npz/.txt.npz features)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skrx import RunConfig
+from skrx.utils import ModelRegistry
+
+MM_ZOO = [
+    ("BM3", dict(lr=0.01, embed_dim=16, n_layers=1, batch_size=256, epochs=3,
+                 early_stop=3)),
+    ("FREEDOM", dict(lr=0.01, embed_dim=16, feat_dim=16, knn_k=5,
+                     n_ui_layers=2, dropout=0.5, batch_size=256, epochs=3,
+                     early_stop=3)),
+    ("LATTICE", dict(lr=0.01, embed_dim=16, feat_embed_dim=16,
+                     weight_size=[16, 16], knn_k=5, batch_size=256, epochs=3,
+                     early_stop=3)),
+    ("LATTICE_ngcf", dict(lr=0.01, embed_dim=16, feat_embed_dim=16,
+                          weight_size=[16, 16], knn_k=5, cf_model="ngcf",
+                          batch_size=256, epochs=2, early_stop=2)),
+]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from skrx.io import synthetic
+    root = tmp_path_factory.mktemp("mm")
+    return synthetic.make_dataset_dir(str(root), num_users=50, num_items=80,
+                                      num_ratings=1500, seed=9, with_mm=True,
+                                      img_dim=12, txt_dim=10)
+
+
+def _cfg(data_dir, name):
+    return RunConfig(recommender=name, data_dir=data_dir, file_column="UIRT",
+                     sep="\t", metric=("Recall", "NDCG"), top_k=(10,),
+                     test_batch_size=32, seed=2021)
+
+
+@pytest.mark.parametrize("name,params", MM_ZOO, ids=[z[0] for z in MM_ZOO])
+def test_mm_model_smoke(name, params, data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    name = name.split("_")[0]
+    registry = ModelRegistry()
+    assert registry.load_skrx_model(name)
+    model_cls, _ = registry.get_model(name)
+    model = model_cls(_cfg(data_dir, name), params)
+    result = model.fit()
+    assert np.isfinite(result["NDCG@10"]) and result["NDCG@10"] >= 0.0
+    scores = np.asarray(model.predict([0, 1, 2]))
+    assert scores.shape == (3, model.dataset.num_items)
+    assert np.isfinite(scores).all()
+
+
+def test_mm_data_loading(data_dir):
+    from skrx.io import RSDataset
+    ds = RSDataset(data_dir, "\t", "UIRT")
+    assert ds.img_features is not None and ds.img_dim == 12
+    assert ds.txt_features is not None and ds.txt_dim == 10
+    assert ds.img_features.shape[0] == ds.num_items
