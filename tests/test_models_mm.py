@@ -20,6 +20,15 @@ MM_ZOO = [
     ("LATTICE_ngcf", dict(lr=0.01, embed_dim=16, feat_embed_dim=16,
                           weight_size=[16, 16], knn_k=5, cf_model="ngcf",
                           batch_size=256, epochs=2, early_stop=2)),
+    ("MGCN", dict(lr=0.01, embed_dim=16, knn_k=5, batch_size=256, epochs=3,
+                  early_stop=3)),
+    ("SLMRec", dict(lr=0.01, rec_dim=16, layer_num=2, ssl_task="FAC",
+                    batch_size=256, epochs=3, early_stop=3)),
+    ("SLMRec_FD", dict(lr=0.01, rec_dim=16, layer_num=2, ssl_task="FD",
+                       batch_size=256, epochs=2, early_stop=2)),
+    ("SLMRec_FM", dict(lr=0.01, rec_dim=16, layer_num=2, ssl_task="FM",
+                       mm_fusion_mode="mean", batch_size=256, epochs=2,
+                       early_stop=2)),
 ]
 
 
