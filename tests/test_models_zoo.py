@@ -51,6 +51,10 @@ ZOO = [
                      epochs=2, early_stop=2)),
     ("GRU4RecPlus", dict(lr=0.01, layers=[16], batch_size=16, loss="bpr_max",
                          n_sample=32, epochs=2, early_stop=2)),
+    ("CML", dict(lr=0.05, reg=1.0, embed_size=16, dns=5, batch_size=128,
+                 epochs=3, early_stop=3)),
+    ("AOBPR", dict(lr=0.05, reg=0.01, embed_size=16, alpha=100,
+                   batch_size=256, epochs=3, early_stop=3)),
 ]
 
 
