@@ -55,6 +55,10 @@ ZOO = [
                  epochs=3, early_stop=3)),
     ("AOBPR", dict(lr=0.05, reg=0.01, embed_size=16, alpha=100,
                    batch_size=256, epochs=3, early_stop=3)),
+    ("SRGNN", dict(lr=0.01, hidden_size=16, max_seq_len=20, batch_size=64,
+                   epochs=2, early_stop=2)),
+    ("SGAT", dict(lr=0.01, reg=0.001, n_layers=2, n_seqs=4, n_next=2,
+                  embed_size=16, batch_size=256, epochs=2, early_stop=2)),
 ]
 
 
