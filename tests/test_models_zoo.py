@@ -59,6 +59,8 @@ ZOO = [
                    epochs=2, early_stop=2)),
     ("SGAT", dict(lr=0.01, reg=0.001, n_layers=2, n_seqs=4, n_next=2,
                   embed_size=16, batch_size=256, epochs=2, early_stop=2)),
+    ("BERT4Rec", dict(lr=0.001, max_seq_len=8, h_size=16, att_heads=2,
+                      n_layers=1, batch_size=64, epochs=3, early_stop=3)),
 ]
 
 
