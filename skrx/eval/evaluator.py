@@ -230,3 +230,18 @@ class EarlyStopping:
         if self._best_score is not None:
             return self._best_score
         return MetricReport(["None"], [0])
+
+    # -- checkpoint support (no reference counterpart) --
+
+    def get_state(self) -> dict:
+        best = None
+        if self._best_score is not None:
+            best = (list(self._best_score.metrics()),
+                    list(self._best_score.values()))
+        return {"counter": self._counter, "best": best}
+
+    def set_state(self, state: dict) -> None:
+        self._counter = state.get("counter", 0)
+        best = state.get("best")
+        if best is not None:
+            self._best_score = MetricReport(best[0], best[1])

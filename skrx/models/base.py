@@ -25,6 +25,7 @@ __all__ = ["AbstractRecommender", "JaxRecommender"]
 
 class AbstractRecommender:
     def __init__(self, run_config: RunConfig, model_config: Config):
+        self.run_config = run_config
         self.dataset = RSDataset(run_config.data_dir, run_config.sep,
                                  run_config.file_column)
         self.logger: Logger = self._create_logger(self.dataset, model_config)
@@ -78,12 +79,45 @@ class JaxRecommender(AbstractRecommender):
     * ``predict(users) -> (B, N) scores`` — device array is fine.
     """
 
+    def _checkpointer(self):
+        rc = self.run_config
+        if not rc.checkpoint_dir or rc.checkpoint_every <= 0:
+            return None
+        from ..utils.checkpoint import Checkpointer
+        return Checkpointer(os.path.join(rc.checkpoint_dir,
+                                         type(self).__name__))
+
+    def _train_state(self):
+        """Pytree saved in checkpoints; subclasses with extra state override."""
+        state = {}
+        if getattr(self, "params", None) is not None:
+            state["params"] = self.params
+        if getattr(self, "opt_state", None) is not None:
+            state["opt_state"] = self.opt_state
+        return state
+
+    def _load_train_state(self, state) -> None:
+        if "params" in state:
+            self.params = state["params"]
+        if "opt_state" in state:
+            self.opt_state = state["opt_state"]
+
     def fit(self) -> MetricReport:
         self.logger.info("metrics:".ljust(12) + f"\t{self.evaluator.metrics_str}")
         early_stopping = EarlyStopping(metric="NDCG@10",
                                        patience=self.config.early_stop)
+        ckpt = self._checkpointer()
+        start_epoch = 0
+        if ckpt is not None and self.run_config.resume:
+            state, extra, step = ckpt.restore(self._train_state())
+            if step is not None:
+                self._load_train_state(state)
+                early_stopping.set_state(extra.get("early_stopping", {}))
+                start_epoch = extra.get("epoch", step) + 1
+                self.logger.info(f"resumed from checkpoint at epoch {step}")
+
         epoch_start = time.perf_counter()
-        for epoch in range(self.config.epochs):
+        for epoch in range(start_epoch, self.config.epochs):
             loss = self._train_epoch(epoch)
             cur_result = self.evaluate()
             elapsed = time.perf_counter() - epoch_start
@@ -91,7 +125,13 @@ class JaxRecommender(AbstractRecommender):
             loss_str = f"loss={loss:.5f} [{elapsed:.2f}s]" if loss is not None else ""
             self.logger.info(f"epoch {epoch}:".ljust(12)
                              + f"\t{cur_result.values_str}\t{loss_str}")
-            if early_stopping(cur_result):
+            stop = early_stopping(cur_result)
+            if ckpt is not None and \
+                    (epoch + 1) % self.run_config.checkpoint_every == 0:
+                ckpt.save(epoch, self._train_state(),
+                          {"epoch": epoch,
+                           "early_stopping": early_stopping.get_state()})
+            if stop:
                 self.logger.info("early stop")
                 break
         self.logger.info("best:".ljust(12)

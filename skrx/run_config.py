@@ -36,6 +36,11 @@ class RunConfig(Config):
     mesh_shape: Optional[Tuple[int, int]] = None
     # Compute dtype for dense towers: "float32" | "bfloat16".
     compute_dtype: str = "float32"
+    # Checkpoint/resume: save params+opt_state every N epochs to
+    # checkpoint_dir; resume=True restores the latest checkpoint at fit().
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 0
+    resume: bool = False
 
     def _validate(self):
         assert isinstance(self.recommender, str) and self.recommender
