@@ -52,8 +52,18 @@ def mask_items(scores: jnp.ndarray, item_table: jnp.ndarray,
     return scores.at[rows, item_table].set(fill_value, mode="drop")
 
 
+_BLOCKWISE_TOPK_MIN_N = 131072  # catalogs beyond this stream through Pallas
+
+
 def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Exact top-k item indices per row (descending score)."""
+    """Exact top-k item indices per row (descending score). Very large
+    catalogs use the Pallas blockwise streaming kernel
+    (skrx/ops/pallas/topk_blocks.py) on TPU."""
+    if (scores.shape[1] >= _BLOCKWISE_TOPK_MIN_N
+            and jax.default_backend() == "tpu"):
+        from .pallas import blockwise_topk
+        _, idx = blockwise_topk(scores, k)
+        return idx
     _, idx = lax.top_k(scores, k)
     return idx
 
