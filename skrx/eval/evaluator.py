@@ -99,7 +99,7 @@ class RankingEvaluator:
                  user_test_dict: Dict[int, np.ndarray],
                  metric: Union[None, str, Tuple[str, ...], List[str]] = None,
                  top_k: Union[int, List[int], Tuple[int, ...]] = 50,
-                 batch_size: int = 256, num_thread: int = 8):
+                 batch_size: int = 256, num_thread: int = 8, mesh=None):
         if metric is None:
             metric = ["Precision", "Recall", "MAP", "NDCG", "MRR"]
         elif isinstance(metric, str):
@@ -120,6 +120,10 @@ class RankingEvaluator:
         self.metrics = tuple(METRIC2ID[m] for m in metric)
         self.num_thread = num_thread  # kept for API parity; unused on device
         self.batch_size = batch_size
+        # Optional jax.sharding.Mesh: evaluation batches are sharded over the
+        # 'data' axis so ranking/metrics compute data-parallel across chips
+        # (no reference counterpart — skrec is single-GPU).
+        self.mesh = mesh
 
         if isinstance(top_k, int):
             self.max_top = top_k
@@ -185,9 +189,20 @@ class RankingEvaluator:
             num_items = scores.shape[1]
             train_table, test_table, test_len = self._tables_for(batch_users,
                                                                  num_items)
+            train_table = jnp.asarray(train_table)
+            test_table = jnp.asarray(test_table)
+            test_len_j = jnp.asarray(np.maximum(test_len, 1))
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                scores = jax.device_put(scores, shard)
+                train_table = jax.device_put(train_table, shard)
+                test_table = jax.device_put(test_table, shard)
+                test_len_j = jax.device_put(test_len_j, shard)
             per_user = eval_score_matrix_device(
-                scores, jnp.asarray(train_table), jnp.asarray(test_table),
-                jnp.asarray(np.maximum(test_len, 1)), self.metrics, self.max_top)
+                scores, train_table, test_table, test_len_j, self.metrics,
+                self.max_top)
             weight = (np.arange(bs) < n_real) & (test_len > 0)
             batch_sum = jnp.sum(
                 per_user * jnp.asarray(weight.astype(np.float32))[:, None, None],

@@ -30,12 +30,17 @@ class AbstractRecommender:
                                  run_config.file_column)
         self.logger: Logger = self._create_logger(self.dataset, model_config)
         self.dataset.set_logger(self.logger)
+        mesh = None
+        if getattr(run_config, "mesh_shape", None):
+            from ..parallel import make_mesh
+            mesh = make_mesh(tuple(run_config.mesh_shape))
+        self.mesh = mesh
         self.evaluator = RankingEvaluator(
             self.dataset.train_data.to_user_dict(),
             self.dataset.test_data.to_user_dict(),
             metric=run_config.metric, top_k=run_config.top_k,
             batch_size=run_config.test_batch_size,
-            num_thread=run_config.test_thread)
+            num_thread=run_config.test_thread, mesh=mesh)
         self._user_groups = group_users_by_interactions(self.dataset)
 
     def _create_logger(self, dataset: RSDataset, config: Config) -> Logger:
@@ -116,10 +121,20 @@ class JaxRecommender(AbstractRecommender):
                 start_epoch = extra.get("epoch", step) + 1
                 self.logger.info(f"resumed from checkpoint at epoch {step}")
 
+        profile_dir = getattr(self.run_config, "profile_dir", "")
         epoch_start = time.perf_counter()
         for epoch in range(start_epoch, self.config.epochs):
+            # profile the second epoch (first is dominated by compilation)
+            profiling = bool(profile_dir) and epoch == start_epoch + 1
+            if profiling:
+                import jax
+                jax.profiler.start_trace(profile_dir)
             loss = self._train_epoch(epoch)
             cur_result = self.evaluate()
+            if profiling:
+                import jax
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {profile_dir}")
             elapsed = time.perf_counter() - epoch_start
             epoch_start = time.perf_counter()
             loss_str = f"loss={loss:.5f} [{elapsed:.2f}s]" if loss is not None else ""

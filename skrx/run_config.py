@@ -41,6 +41,9 @@ class RunConfig(Config):
     checkpoint_dir: str = ""
     checkpoint_every: int = 0
     resume: bool = False
+    # Write a jax.profiler trace of one training epoch + one evaluation to
+    # this directory (view with TensorBoard / xprof). Empty disables.
+    profile_dir: str = ""
 
     def _validate(self):
         assert isinstance(self.recommender, str) and self.recommender
