@@ -38,10 +38,18 @@ class HyperOpt:
         if not run_config.hyperopt:
             return
 
-        from hyperopt import hp  # imported lazily: only needed for search
-
-        self._param_space = {key: hp.choice(key, values)
-                             for key, values in config_class.param_space().items()}
+        try:  # TPE via the hyperopt library when available
+            from hyperopt import hp
+            self._param_space = {key: hp.choice(key, values)
+                                 for key, values in
+                                 config_class.param_space().items()}
+            self._have_hyperopt = True
+        except ImportError:
+            # fallback: exhaustive shuffled grid search with the same
+            # early-stopping semantics (capability-preserving when the
+            # hyperopt dependency is absent)
+            self._param_space = None
+            self._have_hyperopt = False
         self._num_combos = config_class.num_combos()
         self._patience = max(int(self._num_combos / 2), 10)
         self._early_stopping = EarlyStopping(metric="NDCG@10",
@@ -78,6 +86,8 @@ class HyperOpt:
         if not self._run_config.hyperopt:
             model = self._model_class(self._run_config, self.fixed_params)
             return model.fit()
+        if not self._have_hyperopt:
+            return self._run_grid_search()
 
         from hyperopt import Trials, fmin, space_eval, tpe
 
@@ -96,6 +106,38 @@ class HyperOpt:
         self.logger.info("\nDetailed results:\n"
                          + json.dumps(self._early_stopping.best_result.results,
                                       default=str))
+        return self._early_stopping.best_result
+
+    def _run_grid_search(self):
+        """Shuffled exhaustive grid with the search-level early stopping —
+        used when the hyperopt library is unavailable."""
+        import itertools
+        import random as pyrandom
+
+        space = self._config_class.param_space()
+        keys = list(space.keys())
+        combos = list(itertools.product(*(space[k] for k in keys)))
+        pyrandom.Random(self._run_config.seed).shuffle(combos)
+        self.logger.info(f"hyperopt library unavailable; grid search over "
+                         f"{len(combos)} combos")
+        best_params = None
+        for tid, combo in enumerate(combos):
+            params = self.fixed_params
+            params.update(dict(zip(keys, combo)))
+            self._current_model = self._model_class(self._run_config, params)
+            result = self._current_model.fit()
+            score = result[self._early_stopping.key_metric]
+            self.logger.info(f"trial {tid}\t{dict(zip(keys, combo))}\t"
+                             f"{self._early_stopping.key_metric}={score:.6f}")
+            stopped = self._early_stopping(result)
+            if self._early_stopping.best_result is result:
+                best_params = dict(zip(keys, combo))
+            if stopped:
+                self.logger.info("search early stop")
+                break
+        self.logger.info("Best params:\t" + json.dumps(best_params, default=str))
+        self.logger.info("\nDetailed results:\n" + json.dumps(
+            self._early_stopping.best_result.results, default=str))
         return self._early_stopping.best_result
 
     def objective(self, hp_params) -> float:

@@ -1,0 +1,73 @@
+"""CLI entry + hyperparameter search driver."""
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skrx import RunConfig
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from skrx.io import synthetic
+    root = tmp_path_factory.mktemp("cli")
+    return synthetic.make_dataset_dir(str(root), num_users=40, num_items=60,
+                                      num_ratings=800, seed=6)
+
+
+def test_cli_main_end_to_end(data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "run_skrx.py", "--recommender", "Pop", "--data_dir", data_dir,
+        "--file_column", "UIRT", "--top_k", "(10,)", "--metric", "('NDCG',)",
+        "--test_batch_size", "16"])
+    sys.path.insert(0, "/root/repo")
+    import run_skrx
+    result = run_skrx.main()
+    assert result["NDCG@10"] >= 0.0
+
+
+def test_cli_with_ini(data_dir, tmp_path, monkeypatch):
+    ini = tmp_path / "run.ini"
+    ini.write_text("[run]\n"
+                   "recommender = Pop\n"
+                   f"data_dir = {data_dir}\n"
+                   "top_k = (10,)\n"
+                   "metric = ('NDCG',)\n"
+                   "test_batch_size = 16\n")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["run_skrx.py", "--config", str(ini)])
+    sys.path.insert(0, "/root/repo")
+    import run_skrx
+    result = run_skrx.main()
+    assert result["NDCG@10"] >= 0.0
+
+
+def test_grid_search_fallback(data_dir, tmp_path, monkeypatch):
+    """Search driver works without the hyperopt library via the grid
+    fallback (the image has no hyperopt)."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.BPRMF import BPRMF, BPRMFConfig
+    from skrx.utils.hyperopt_driver import HyperOpt
+
+    class TinyConfig(BPRMFConfig):
+        @classmethod
+        def param_space(cls):
+            return {"lr": [0.01, 0.05], "n_dim": [8]}
+
+    class TinyBPRMF(BPRMF):
+        def __init__(self, run_config, model_config):
+            self.config = TinyConfig(**model_config)
+            super(BPRMF, self).__init__(run_config, self.config)
+            # re-run BPRMF setup with the tiny config
+            BPRMF.__init__(self, run_config, model_config)
+
+    cfg = RunConfig(recommender="BPRMF", data_dir=data_dir,
+                    file_column="UIRT", sep="\t", metric=("NDCG",),
+                    top_k=(10,), test_batch_size=16, seed=1, hyperopt=True)
+    driver = HyperOpt(cfg, BPRMF, TinyConfig,
+                      dict(epochs=2, early_stop=2, batch_size=128))
+    result = driver.run()
+    assert np.isfinite(result["NDCG@10"])
