@@ -121,16 +121,17 @@ def bench_skrx_tpu(dataset, num_epochs=5):
         return (p, s), loss
 
     carry = (params, opt_state)
-    # warmup/compile
+    # warmup/compile; float() forces full materialization (block_until_ready
+    # alone does not synchronize through the axon tunnel)
     carry, loss = pipeline.run_epoch(jax.random.fold_in(key, 999), carry,
                                      train_step)
-    jax.block_until_ready(loss)
+    float(loss)
 
     start = time.perf_counter()
     for e in range(num_epochs):
         carry, loss = pipeline.run_epoch(jax.random.fold_in(key, e), carry,
                                          train_step)
-    jax.block_until_ready(loss)
+    float(loss)
     elapsed = time.perf_counter() - start
     return num_epochs * pipeline.num_examples / elapsed
 
