@@ -29,7 +29,7 @@ from ..utils.generic import pad_sequences
 
 __all__ = ["ImplicitFeedback", "KnowledgeGraph", "CFData", "KGData", "MMData",
            "RSDataset", "UserGroup", "group_users_by_interactions",
-           "PaddedPositives"]
+           "PaddedPositives", "SocialNetwork", "SocialData"]
 
 _USER, _ITEM, _RATING, _TIME = "user", "item", "rating", "time"
 _HEAD, _RELATION, _TAIL = "head", "relation", "tail"
@@ -459,6 +459,17 @@ class MMData:
         return "\n".join(lines)
 
 
+class SocialNetwork:
+    """Placeholder for social-graph views — an empty TODO stub in the
+    reference as well (dataset.py:272-274)."""
+    pass
+
+
+class SocialData:
+    """Placeholder loader for social data (reference dataset.py:578-579)."""
+    pass
+
+
 class RSDataset:
     """Facade lazily exposing CF / KG / MM data
     (parity: reference dataset.py:582-695)."""
@@ -511,6 +522,10 @@ class RSDataset:
     txt_dim = property(lambda self: self.mm_data.txt_dim)
     audio_features = property(lambda self: self.mm_data.audio_features)
     audio_dim = property(lambda self: self.mm_data.audio_dim)
+
+    @property
+    def social_data(self):
+        raise NotImplementedError  # TODO stub, as in the reference
 
     @property
     def statistic_info(self) -> str:

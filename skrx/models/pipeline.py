@@ -49,13 +49,17 @@ class PairwiseEpochPipeline:
 
     def __init__(self, train_data: ImplicitFeedback, batch_size: int,
                  num_neg: int = 1, num_trials: int = 8,
-                 extra_cols: Optional[Tuple[np.ndarray, ...]] = None):
+                 extra_cols: Optional[Tuple[np.ndarray, ...]] = None,
+                 mesh=None):
         pairs = train_data.to_user_item_pairs()
         pp = train_data.to_padded_positive_table()
         self.num_items = train_data.num_items
         self.num_neg = num_neg
         self.num_trials = num_trials
         self.batch_size = batch_size
+        # optional jax.sharding.Mesh: per-step batches are sharded over the
+        # 'data' axis (params stay replicated unless the caller shards them)
+        self.mesh = mesh
 
         users, self._weights = pad_to_batches(pairs[:, 0], batch_size)
         pos, _ = pad_to_batches(pairs[:, 1], batch_size)
@@ -93,6 +97,16 @@ class PairwiseEpochPipeline:
                       pos.reshape((nb, b) + pos.shape[1:]),
                       neg.reshape(nb, b, self.num_neg), w.reshape(nb, b),
                       *(e.reshape((nb, b) + e.shape[1:]) for e in extra))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+
+            def shard(x):
+                spec = P(None, axis, *([None] * (x.ndim - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec))
+
+            batch_data = tuple(shard(x) for x in batch_data)
 
         def body(c, batch):
             c, loss = train_step(c, batch)
