@@ -47,6 +47,8 @@ class PairwiseEpochPipeline:
     ``carry`` is whatever the model threads through (params, opt_state, ...).
     """
 
+    mesh = None  # subclasses overriding __init__ inherit single-device mode
+
     def __init__(self, train_data: ImplicitFeedback, batch_size: int,
                  num_neg: int = 1, num_trials: int = 8,
                  extra_cols: Optional[Tuple[np.ndarray, ...]] = None,
