@@ -33,6 +33,9 @@ class BPRMFConfig(ModelConfig):
     batch_size: int = 1024
     epochs: int = 1000
     early_stop: int = 200
+    # "adam" (dense, reference parity) or "lazy_adam" (row-wise sparse
+    # updates — O(B*D) per step instead of O(N*D); production-scale option)
+    optimizer: str = "adam"
 
     @classmethod
     def param_space(cls):
@@ -46,6 +49,7 @@ class BPRMFConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
         assert isinstance(self.epochs, int) and self.epochs >= 0
         assert isinstance(self.early_stop, int)
+        assert self.optimizer in ("adam", "lazy_adam")
 
 
 class BPRMF(JaxRecommender):
@@ -89,14 +93,61 @@ class BPRMF(JaxRecommender):
                  + params["item_bias"][neg] ** 2) * w)
             return loss + reg * reg_term
 
-        def train_step(carry, batch):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+        if cfg.optimizer == "lazy_adam":
+            from ..ops.optim import lazy_adam_init, lazy_adam_row_update
 
-        self._train_step = train_step
+            def gathered_loss(ue, pe, ne, bp, bn, w):
+                y_pos = jnp.sum(ue * pe, -1) + bp
+                y_neg = jnp.sum(ue * ne, -1) + bn
+                loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
+                reg_term = 0.5 * jnp.sum(
+                    (jnp.sum(ue ** 2 + pe ** 2 + ne ** 2, -1)
+                     + bp ** 2 + bn ** 2) * w)
+                return loss + reg * reg_term
+
+            lr = cfg.lr
+
+            def train_step(carry, batch):
+                params, opt_state = carry
+                users, pos, neg, w = batch
+                neg = neg[:, 0]
+                ue = params["user_emb"][users]
+                pe = params["item_emb"][pos]
+                ne = params["item_emb"][neg]
+                bp = params["item_bias"][pos]
+                bn = params["item_bias"][neg]
+                loss, grads = jax.value_and_grad(
+                    gathered_loss, argnums=(0, 1, 2, 3, 4))(ue, pe, ne, bp,
+                                                            bn, w)
+                g_ue, g_pe, g_ne, g_bp, g_bn = grads
+                s_u, s_i, s_b = opt_state
+                s_u, user_emb = lazy_adam_row_update(
+                    s_u, params["user_emb"], users, g_ue, lr)
+                item_rows = jnp.concatenate([pos, neg])
+                s_i, item_emb = lazy_adam_row_update(
+                    s_i, params["item_emb"], item_rows,
+                    jnp.concatenate([g_pe, g_ne]), lr)
+                s_b, item_bias = lazy_adam_row_update(
+                    s_b, params["item_bias"], item_rows,
+                    jnp.concatenate([g_bp, g_bn]), lr)
+                params = {"user_emb": user_emb, "item_emb": item_emb,
+                          "item_bias": item_bias}
+                return (params, (s_u, s_i, s_b)), loss
+
+            self._train_step = train_step
+            self.opt_state = (lazy_adam_init(self.params["user_emb"]),
+                              lazy_adam_init(self.params["item_emb"]),
+                              lazy_adam_init(self.params["item_bias"]))
+        else:
+            def train_step(carry, batch):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            self._train_step = train_step
 
         @jax.jit
         def predict_fn(params, users):

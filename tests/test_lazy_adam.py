@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+import optax
+
+from skrx.ops.optim import dedup_rows, lazy_adam_init, lazy_adam_row_update
+
+
+def test_dedup_rows_sums_duplicates():
+    rows = jnp.asarray(np.array([3, 1, 3, 7, 1, 100], np.int32))  # 100 = drop
+    grads = jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2))
+    uniq, summed = dedup_rows(rows, grads, drop_id=100)
+    uniq = np.asarray(uniq)
+    summed = np.asarray(summed)
+    mapping = {int(u): summed[i] for i, u in enumerate(uniq) if u < 100}
+    np.testing.assert_allclose(mapping[1], grads[1] + grads[4])
+    np.testing.assert_allclose(mapping[3], grads[0] + grads[2])
+    np.testing.assert_allclose(mapping[7], grads[3])
+
+
+def test_lazy_adam_matches_dense_on_touched_rows():
+    rng = np.random.default_rng(0)
+    n, d, k = 50, 8, 12
+    table = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    rows = jnp.asarray(rng.choice(n, k, replace=False).astype(np.int32))
+    g_rows = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
+
+    # dense optax adam with a dense gradient that is zero off the rows
+    dense_g = jnp.zeros_like(table).at[rows].set(g_rows)
+    opt = optax.adam(0.01)
+    s = opt.init(table)
+    up, _ = opt.update(dense_g, s, table)
+    dense_next = optax.apply_updates(table, up)
+
+    state = lazy_adam_init(table)
+    state, lazy_next = lazy_adam_row_update(state, table, rows, g_rows, 0.01)
+
+    np.testing.assert_allclose(np.asarray(lazy_next)[np.asarray(rows)],
+                               np.asarray(dense_next)[np.asarray(rows)],
+                               rtol=1e-5, atol=1e-6)
+    # untouched rows unchanged under lazy adam
+    untouched = np.setdiff1d(np.arange(n), np.asarray(rows))
+    np.testing.assert_array_equal(np.asarray(lazy_next)[untouched],
+                                  np.asarray(table)[untouched])
+    assert np.asarray(state.counts)[np.asarray(rows)].min() == 1
+
+
+def test_lazy_adam_duplicates_equal_summed_grads():
+    table = jnp.ones((10, 4))
+    rows = jnp.asarray(np.array([2, 2, 5], np.int32))
+    g = jnp.asarray(np.ones((3, 4), np.float32))
+    state = lazy_adam_init(table)
+    _, next_dup = lazy_adam_row_update(state, table, rows, g, 0.1)
+    _, next_sum = lazy_adam_row_update(
+        lazy_adam_init(table), table, jnp.asarray(np.array([2, 5], np.int32)),
+        jnp.asarray(np.array([[2.0] * 4, [1.0] * 4], np.float32)), 0.1)
+    np.testing.assert_allclose(np.asarray(next_dup), np.asarray(next_sum),
+                               rtol=1e-6)
+
+
+def test_bprmf_lazy_adam_learns(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.BPRMF import BPRMF
+    data = synthetic.make_dataset_dir(str(tmp_path), num_users=80,
+                                      num_items=150, num_ratings=2000,
+                                      seed=21, latent_dim=4,
+                                      latent_strength=8.0)
+    run = RunConfig(recommender="BPRMF", data_dir=data, file_column="UIRT",
+                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    test_batch_size=32, seed=1)
+    m = BPRMF(run, dict(lr=0.02, reg=0.001, n_dim=16, batch_size=256,
+                        epochs=10, early_stop=10, optimizer="lazy_adam"))
+    result = m.fit()
+    assert result["NDCG@10"] > 0.10
