@@ -126,7 +126,8 @@ class BERT4Rec(JaxRecommender):
         }
 
         num_train_steps = max(nb * cfg.epochs, 1)
-        schedule = optax.warmup_linear_schedule = optax.join_schedules(
+        # 100-step linear warmup then linear decay (optimization.py:25-82)
+        schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, cfg.lr, 100),
              optax.linear_schedule(cfg.lr, 0.0, max(num_train_steps - 100, 1))],
             [100])
