@@ -55,6 +55,32 @@ def test_bprmf_learns(data_dir, tmp_path, monkeypatch):
     assert np.isfinite(scores).all()
 
 
+def test_lightgcn_learns(data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.LightGCN import LightGCN
+    from skrx.models.Pop import Pop
+    pop_result = Pop(_run_cfg(data_dir), {}).fit()
+    model = LightGCN(_run_cfg(data_dir),
+                     dict(lr=0.01, reg=0.001, embed_size=32, n_layers=2,
+                          batch_size=256, epochs=30, early_stop=30))
+    result = model.fit()
+    assert result["NDCG@10"] > pop_result["NDCG@10"]
+
+
+def test_sasrec_learns(data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.SASRec import SASRec
+    from skrx.models.Pop import Pop
+    pop_result = Pop(_run_cfg(data_dir), {}).fit()
+    model = SASRec(_run_cfg(data_dir),
+                   dict(lr=0.005, hidden_units=32, max_len=20, num_blocks=1,
+                        num_heads=1, dropout_rate=0.2, batch_size=64,
+                        epochs=40, early_stop=40))
+    result = model.fit()
+    # sequential model trained properly must clearly beat popularity
+    assert result["NDCG@10"] > pop_result["NDCG@10"]
+
+
 def test_evaluator_group_eval(data_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from skrx.models.Pop import Pop
