@@ -16,6 +16,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..ops import get_initializer, sigmoid_cross_entropy
 from ..run_config import RunConfig
@@ -139,7 +140,7 @@ class Caser(EpochTrainedRecommender):
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+            params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
 
         self._step_with_key = train_step

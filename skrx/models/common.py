@@ -28,9 +28,8 @@ def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformatio
 
 def make_train_step(optimizer: optax.GradientTransformation,
                     loss_fn: Callable):
-    """Build ``(carry, batch) -> (carry, loss)`` from a pure loss function
-    ``loss_fn(params, batch)`` (or ``loss_fn(params, batch, key)`` when the
-    batch tuple carries a PRNG key last)."""
+    """Build ``(carry, batch) -> (carry, loss)`` with carry =
+    (params, opt_state) from a pure loss function ``loss_fn(params, batch)``."""
 
     def train_step(carry, batch):
         params, opt_state = carry
