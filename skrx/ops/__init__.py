@@ -11,6 +11,7 @@ from .sampling import (is_member_sorted, sample_negatives,
                        gumbel_topk_without_replacement)
 from .graph import (Graph, graph_from_sp_matrix, propagate, propagate_layers,
                     edge_dropout)
+from . import attention, mm_graph, optim, rnn
 
 __all__ = [
     "inner_product", "euclidean_distance", "l2_distance", "bpr_loss",
@@ -23,4 +24,5 @@ __all__ = [
     "gumbel_topk_without_replacement",
     "Graph", "graph_from_sp_matrix", "propagate", "propagate_layers",
     "edge_dropout",
+    "attention", "mm_graph", "optim", "rnn",
 ]

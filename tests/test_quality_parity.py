@@ -95,3 +95,74 @@ def test_bprmf_quality_parity(dataset, tmp_path, monkeypatch):
     # native implementation must reach at least 90% of the reference loop's
     # best NDCG@10 (and typically exceeds it)
     assert skrx_ndcg > 0.9 * torch_best, (skrx_ndcg, torch_best)
+
+
+class _TorchMultVAE(torch.nn.Module):
+    """Reference-architecture MultVAE (MultVAE.py:64-202 semantics)."""
+
+    def __init__(self, n_items, latent=16, seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.q1 = torch.nn.Linear(n_items, 2 * latent)
+        self.p1 = torch.nn.Linear(latent, n_items)
+        for layer in (self.q1, self.p1):
+            torch.nn.init.normal_(layer.weight, 0.0, 0.01)
+            torch.nn.init.normal_(layer.bias, 0.0, 0.01)
+        self.latent = latent
+
+    def forward(self, x, training):
+        h = torch.nn.functional.normalize(x, p=2, dim=1)
+        if training:
+            h = torch.nn.functional.dropout(h, 0.5)
+        h = self.q1(h)
+        mu, logvar = h[:, : self.latent], h[:, self.latent:]
+        std = torch.exp(0.5 * logvar)
+        kl = (0.5 * (-logvar + logvar.exp() + mu.pow(2) - 1)).sum(1).mean()
+        z = mu + float(training) * torch.randn_like(std) * std
+        return self.p1(z), kl
+
+
+def test_multvae_quality_parity(dataset, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path, ds = dataset
+    evaluator = RankingEvaluator(ds.train_data.to_user_dict(),
+                                 ds.test_data.to_user_dict(),
+                                 metric=("NDCG",), top_k=(10,), batch_size=64)
+    dense = np.asarray(ds.train_data.to_csr_matrix().todense(),
+                       dtype=np.float32)
+
+    class TorchVAEModel:
+        def __init__(self):
+            self.net = _TorchMultVAE(ds.num_items)
+            self.opt = torch.optim.Adam(self.net.parameters(), lr=0.005)
+
+        def fit_and_best(self):
+            users = np.nonzero(dense.sum(1) > 0)[0]
+            best = -1.0
+            for _ in range(20):
+                np.random.shuffle(users)
+                for lo in range(0, len(users), 64):
+                    x = torch.from_numpy(dense[users[lo: lo + 64]])
+                    logits, kl = self.net(x, training=True)
+                    ll = -(torch.log_softmax(logits, -1) * x).sum(-1).mean()
+                    loss = ll + 0.2 * kl
+                    self.opt.zero_grad(); loss.backward(); self.opt.step()
+                best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            return best
+
+        def predict(self, us):
+            with torch.no_grad():
+                logits, _ = self.net(torch.from_numpy(dense[np.asarray(us)]),
+                                     training=False)
+            return logits.numpy()
+
+    torch_best = TorchVAEModel().fit_and_best()
+
+    from skrx.models.MultVAE import MultVAE
+    run = RunConfig(recommender="MultVAE", data_dir=path, file_column="UIRT",
+                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    test_batch_size=64, seed=2021)
+    model = MultVAE(run, dict(lr=0.005, p_dims=[16], batch_size=64, epochs=20,
+                              early_stop=20, anneal_steps=0, anneal_cap=0.2))
+    skrx_ndcg = model.fit()["NDCG@10"]
+    assert skrx_ndcg > 0.9 * torch_best, (skrx_ndcg, torch_best)
