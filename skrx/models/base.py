@@ -130,6 +130,12 @@ class JaxRecommender(AbstractRecommender):
                 import jax
                 jax.profiler.start_trace(profile_dir)
             loss = self._train_epoch(epoch)
+            if loss is not None and not np.isfinite(loss):
+                # failure detection: divergence aborts cleanly with the best
+                # checkpointed/early-stopped result instead of burning epochs
+                self.logger.error(f"epoch {epoch}: non-finite loss ({loss}); "
+                                  f"stopping")
+                break
             cur_result = self.evaluate()
             if profiling:
                 import jax

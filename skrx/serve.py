@@ -1,0 +1,54 @@
+"""Top-K recommendation serving.
+
+No reference counterpart (skrec stops at offline evaluation). Wraps any
+trained model's full-catalog ``predict`` into a jitted serving function that
+masks already-seen training items and returns the top-K item ids + scores —
+the online-inference contract of a production recommender. The ranking path
+reuses the evaluator's on-device kernels (scatter -inf mask + exact top-k;
+Pallas blockwise streaming for very large catalogs).
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.metrics import mask_items
+
+__all__ = ["TopKRecommender"]
+
+
+class TopKRecommender:
+    """Serve ``recommend(users) -> (item_ids, scores)``.
+
+    Args:
+        model: trained model exposing ``predict(users) -> (B, N) scores``
+            and a ``dataset`` attribute (for the seen-item mask).
+        k: recommendations per user.
+        filter_seen: mask the user's training items (standard serving
+            behavior; set False for rating-prediction style output).
+    """
+
+    def __init__(self, model, k: int = 10, filter_seen: bool = True):
+        self.model = model
+        self.k = k
+        self.filter_seen = filter_seen
+        train = model.dataset.train_data
+        pp = train.to_padded_positive_table()
+        self._seen = jnp.asarray(pp.table)  # (U, P), pad id = num_items
+
+        @jax.jit
+        def rank(scores, seen_rows):
+            if filter_seen:
+                scores = mask_items(scores, seen_rows)
+            vals, idx = jax.lax.top_k(scores, k)
+            return idx, vals
+
+        self._rank = rank
+
+    def recommend(self, users) -> Tuple[np.ndarray, np.ndarray]:
+        users_arr = jnp.asarray(np.asarray(users, dtype=np.int32))
+        scores = jnp.asarray(self.model.predict(users_arr), jnp.float32)
+        seen = self._seen[users_arr]
+        idx, vals = self._rank(scores, seen)
+        return np.asarray(idx), np.asarray(vals)
