@@ -9,5 +9,10 @@ from .version import __version__
 from .run_config import RunConfig
 from . import utils
 from . import io
+# top-level convenience re-exports (reference skrec/__init__.py:6-13 parity)
+from .utils import (Config, ModelConfig, ModelRegistry,
+                    merge_config_with_cmd_args, merge_config_with_ini)
 
-__all__ = ["__version__", "RunConfig", "utils", "io"]
+__all__ = ["__version__", "RunConfig", "utils", "io",
+           "Config", "ModelConfig", "ModelRegistry",
+           "merge_config_with_cmd_args", "merge_config_with_ini"]

@@ -17,7 +17,10 @@ applied in minibatches — within a batch, SGD deltas for rows touched more
 than once are summed (scatter-add) instead of applied sequentially — and the
 factor re-sorting happens on device (`jnp.argsort` per factor) every
 ceil(N*ln(N)/batch) batches, matching the reference's cadence in examples.
-Metric parity, not step-for-step parity, is the target.
+(The reference's scalar loop additionally reads the just-updated user vector
+inside the same step's item updates, pyx_aobpr_func.pyx:38-41; the batched
+form uses the pre-step values throughout.) Metric parity, not step-for-step
+parity, is the target.
 """
 import math
 from typing import Dict
