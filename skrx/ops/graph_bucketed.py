@@ -1,0 +1,122 @@
+"""Scatter-free sparse propagation: degree-bucketed neighbor gathers.
+
+TPU scatters are far from roofline (~110 GB/s effective vs ~800 GB/s for
+gathers), and `segment_sum`-based propagation pays one scatter in the
+forward AND one in the backward. This module reformulates A @ x entirely as
+gathers:
+
+* nodes are permuted by degree and grouped into buckets with padded neighbor
+  tables (caps 16/64/256/...), so each bucket is a dense
+  (M, cap, D) gather + weighted sum — pure gather + VPU work;
+* bucket outputs concatenate contiguously in permuted order and one final
+  inverse-permutation gather restores node order — no scatter anywhere;
+* a custom VJP propagates cotangents through A^T with the same machinery
+  (transpose graph built once), so the backward is also scatter-free.
+
+Weights are non-differentiable constants (degree normalizations), matching
+how every model in the zoo uses its graph. Edge dropout needs per-edge
+masks — use the COO `skrx.ops.graph.propagate` path for that.
+
+MEASURED (TPU v5e, 2M-edge Gowalla-scale graph, D=64): the sorted-indices
+`segment_sum` path (skrx/ops/graph.py) runs 23ms fwd / 37ms fwd+bwd vs 53ms
+/ 77ms here — on this chip small-row (256 B) random gathers are no faster
+than sorted scatters, so the COO path remains the default. This module is
+kept as the alternative formulation for backends where gathers beat
+scatters and as the basis for a future Pallas DMA-pipelined variant.
+"""
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+__all__ = ["BucketedGraph", "bucketed_from_sp_matrix", "propagate_bucketed"]
+
+_DEFAULT_CAPS = (16, 64, 256, 1024, 4096)
+
+
+class _OneDirection(NamedTuple):
+    # per bucket: neighbor ids (M, cap) padded with num_nodes, weights (M, cap)
+    nbr: Tuple[jnp.ndarray, ...]
+    wts: Tuple[jnp.ndarray, ...]
+    inv_perm: jnp.ndarray      # (n,) gather indices restoring node order
+    num_nodes: int
+
+
+class BucketedGraph(NamedTuple):
+    fwd: _OneDirection         # A
+    bwd: _OneDirection         # A^T
+
+
+def _build_direction(csr: sp.csr_matrix, caps) -> _OneDirection:
+    n = csr.shape[0]
+    degrees = np.diff(csr.indptr)
+    max_deg = int(degrees.max()) if n else 0
+    caps = [c for c in caps if c < max_deg] + [max(max_deg, 1)]
+
+    order = np.argsort(degrees, kind="stable")  # ascending degree
+    nbr_buckets, wts_buckets = [], []
+    start = 0
+    sorted_deg = degrees[order]
+    for cap in caps:
+        end = int(np.searchsorted(sorted_deg, cap, side="right"))
+        nodes = order[start:end]
+        m = len(nodes)
+        nbr = np.full((m, cap), n, dtype=np.int32)
+        wts = np.zeros((m, cap), dtype=np.float32)
+        for k, v in enumerate(nodes):
+            lo, hi = csr.indptr[v], csr.indptr[v + 1]
+            nbr[k, : hi - lo] = csr.indices[lo:hi]
+            wts[k, : hi - lo] = csr.data[lo:hi]
+        nbr_buckets.append(jnp.asarray(nbr))
+        wts_buckets.append(jnp.asarray(wts))
+        start = end
+    # output order is `order`; inverse permutation restores node order
+    inv_perm = np.empty(n, dtype=np.int32)
+    inv_perm[order] = np.arange(n, dtype=np.int32)
+    return _OneDirection(tuple(nbr_buckets), tuple(wts_buckets),
+                         jnp.asarray(inv_perm), n)
+
+
+def bucketed_from_sp_matrix(mat: sp.spmatrix,
+                            caps=_DEFAULT_CAPS) -> BucketedGraph:
+    """Build both A and A^T directions (symmetric matrices share degree
+    structure but weights may differ per direction)."""
+    csr = sp.csr_matrix(mat).astype(np.float32)
+    assert csr.shape[0] == csr.shape[1], "adjacency must be square"
+    return BucketedGraph(_build_direction(csr, caps),
+                         _build_direction(sp.csr_matrix(csr.T), caps))
+
+
+def _apply_direction(d: _OneDirection, x: jnp.ndarray) -> jnp.ndarray:
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    outs = []
+    for nbr, wts in zip(d.nbr, d.wts):
+        g = x_pad[nbr]                                   # (M, cap, D)
+        outs.append(jnp.einsum("mc,mcd->md", wts, g))
+    return jnp.concatenate(outs, axis=0)[d.inv_perm]
+
+
+_PROP_CACHE = {}
+
+
+def propagate_bucketed(graph: BucketedGraph, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x with gather-only forward and backward (custom VJP through A^T)."""
+    fn = _PROP_CACHE.get(id(graph))
+    if fn is None:
+        @jax.custom_vjp
+        def prop(x):
+            return _apply_direction(graph.fwd, x)
+
+        def fwd(x):
+            return prop(x), None
+
+        def bwd(_, g):
+            return (_apply_direction(graph.bwd, g),)  # A^T @ cotangent
+
+        prop.defvjp(fwd, bwd)
+        _PROP_CACHE[id(graph)] = fn = prop
+        fn._graph_ref = graph  # keep alive so id() stays unique
+    return fn(x)
