@@ -48,11 +48,17 @@ class PairwiseEpochPipeline:
     """
 
     mesh = None  # subclasses overriding __init__ inherit single-device mode
+    # Cap on lax.scan length per compiled program. Very long scans of heavy
+    # steps (e.g. 1000 x full-graph propagation) can exceed what the TPU
+    # runtime tolerates in one executable; set to e.g. 128 to split the epoch
+    # into several compiled chunks (identical numerics, a little dispatch
+    # overhead). None = whole epoch in one program.
+    max_scan_steps: Optional[int] = None
 
     def __init__(self, train_data: ImplicitFeedback, batch_size: int,
                  num_neg: int = 1, num_trials: int = 8,
                  extra_cols: Optional[Tuple[np.ndarray, ...]] = None,
-                 mesh=None):
+                 mesh=None, max_scan_steps: Optional[int] = None):
         pairs = train_data.to_user_item_pairs()
         pp = train_data.to_padded_positive_table()
         self.num_items = train_data.num_items
@@ -73,10 +79,14 @@ class PairwiseEpochPipeline:
         self._pos_table = jnp.asarray(pp.table)
         self._extra = tuple(jnp.asarray(pad_to_batches(c, batch_size)[0])
                             for c in (extra_cols or ()))
+        self.max_scan_steps = max_scan_steps
         self._compiled = {}
 
     def run_epoch(self, key: jax.Array, carry, train_step: Callable):
         """Run one full epoch on device; returns (carry, mean_loss)."""
+        if (self.max_scan_steps is not None
+                and self.num_batches > self.max_scan_steps):
+            return self._run_epoch_chunked(key, carry, train_step)
         fn = self._compiled.get(train_step)
         if fn is None:
             fn = jax.jit(partial(self._epoch_impl, train_step))
@@ -85,8 +95,8 @@ class PairwiseEpochPipeline:
                          self._pos_table, *self._extra)
         return carry, loss
 
-    def _epoch_impl(self, train_step, key, carry, users, pos, w, pos_table,
-                    *extra):
+    def _prepare_batches(self, key, users, pos, w, pos_table, *extra):
+        """Shuffle + sample negatives + reshape into (nb, B, ...) batches."""
         k_perm, k_neg = jax.random.split(key)
         s = users.shape[0]
         perm = jax.random.permutation(k_perm, s)
@@ -109,6 +119,12 @@ class PairwiseEpochPipeline:
                     x, NamedSharding(self.mesh, spec))
 
             batch_data = tuple(shard(x) for x in batch_data)
+        return batch_data
+
+    def _epoch_impl(self, train_step, key, carry, users, pos, w, pos_table,
+                    *extra):
+        batch_data = self._prepare_batches(key, users, pos, w, pos_table,
+                                           *extra)
 
         def body(c, batch):
             c, loss = train_step(c, batch)
@@ -116,6 +132,41 @@ class PairwiseEpochPipeline:
 
         carry, losses = jax.lax.scan(body, carry, batch_data)
         return carry, jnp.mean(losses)
+
+    def _run_epoch_chunked(self, key, carry, train_step):
+        """Split the epoch scan into <= max_scan_steps compiled chunks."""
+        fns = self._compiled.get(("chunked", train_step))
+        if fns is None:
+            prep = jax.jit(self._prepare_batches)
+
+            def chunk_impl(c, chunk):
+                def body(c, batch):
+                    c, loss = train_step(c, batch)
+                    return c, loss
+
+                c, losses = jax.lax.scan(body, c, chunk)
+                return c, jnp.sum(losses)
+
+            fns = (prep, jax.jit(chunk_impl))
+            self._compiled[("chunked", train_step)] = fns
+        prep, chunk_fn = fns
+
+        batch_data = prep(key, self._users, self._pos, self._w,
+                          self._pos_table, *self._extra)
+        nb = self.num_batches
+        c = self.max_scan_steps
+        total = jnp.asarray(0.0)
+        lo = 0
+        # equal-size chunks + one remainder chunk => at most 2 compilations
+        while lo < nb:
+            size = min(c, nb - lo)
+            if size != c and lo + size != nb:
+                size = nb - lo
+            chunk = tuple(x[lo: lo + size] for x in batch_data)
+            carry, loss_sum = chunk_fn(carry, chunk)
+            total = total + loss_sum
+            lo += size
+        return carry, total / nb
 
 
 class SequentialPairwiseEpochPipeline(PairwiseEpochPipeline):
