@@ -109,6 +109,10 @@ class JaxRecommender(AbstractRecommender):
 
     def fit(self) -> MetricReport:
         self.logger.info("metrics:".ljust(12) + f"\t{self.evaluator.metrics_str}")
+        # universal scan-chunking knob (see pipeline.max_scan_steps)
+        cap = getattr(self.config, "max_scan_steps", None)
+        if cap is not None and getattr(self, "pipeline", None) is not None:
+            self.pipeline.max_scan_steps = int(cap)
         early_stopping = EarlyStopping(metric="NDCG@10",
                                        patience=self.config.early_stop)
         ckpt = self._checkpointer()

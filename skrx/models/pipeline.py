@@ -214,9 +214,13 @@ class InteractionEpochPipeline:
     """(user, pos_item, weight) batches — no negatives (SelfCF/BM3/SLMRec
     style, reference InteractionIterator)."""
 
-    def __init__(self, train_data: ImplicitFeedback, batch_size: int):
+    max_scan_steps: Optional[int] = None
+
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int,
+                 max_scan_steps: Optional[int] = None):
         pairs = train_data.to_user_item_pairs()
         self.batch_size = batch_size
+        self.max_scan_steps = max_scan_steps
         users, self._weights = pad_to_batches(pairs[:, 0], batch_size)
         pos, _ = pad_to_batches(pairs[:, 1], batch_size)
         self.num_batches = len(users) // batch_size
@@ -227,17 +231,23 @@ class InteractionEpochPipeline:
         self._compiled = {}
 
     def run_epoch(self, key: jax.Array, carry, train_step: Callable):
+        if (self.max_scan_steps is not None
+                and self.num_batches > self.max_scan_steps):
+            return self._run_epoch_chunked(key, carry, train_step)
         fn = self._compiled.get(train_step)
         if fn is None:
             fn = jax.jit(partial(self._epoch_impl, train_step))
             self._compiled[train_step] = fn
         return fn(key, carry, self._users, self._pos, self._w)
 
-    def _epoch_impl(self, train_step, key, carry, users, pos, w):
+    def _prepare_batches(self, key, users, pos, w):
         perm = jax.random.permutation(key, users.shape[0])
         users, pos, w = users[perm], pos[perm], w[perm]
         nb, b = self.num_batches, self.batch_size
-        batch_data = (users.reshape(nb, b), pos.reshape(nb, b), w.reshape(nb, b))
+        return (users.reshape(nb, b), pos.reshape(nb, b), w.reshape(nb, b))
+
+    def _epoch_impl(self, train_step, key, carry, users, pos, w):
+        batch_data = self._prepare_batches(key, users, pos, w)
 
         def body(c, batch):
             c, loss = train_step(c, batch)
@@ -245,6 +255,36 @@ class InteractionEpochPipeline:
 
         carry, losses = jax.lax.scan(body, carry, batch_data)
         return carry, jnp.mean(losses)
+
+    def _run_epoch_chunked(self, key, carry, train_step):
+        fns = self._compiled.get(("chunked", train_step))
+        if fns is None:
+            prep = jax.jit(self._prepare_batches)
+
+            def chunk_impl(c, chunk):
+                def body(c, batch):
+                    c, loss = train_step(c, batch)
+                    return c, loss
+
+                c, losses = jax.lax.scan(body, c, chunk)
+                return c, jnp.sum(losses)
+
+            fns = (prep, jax.jit(chunk_impl))
+            self._compiled[("chunked", train_step)] = fns
+        prep, chunk_fn = fns
+        batch_data = prep(key, self._users, self._pos, self._w)
+        nb, c = self.num_batches, self.max_scan_steps
+        total = jnp.asarray(0.0)
+        lo = 0
+        while lo < nb:
+            size = min(c, nb - lo)
+            if size != c and lo + size != nb:
+                size = nb - lo
+            chunk = tuple(x[lo: lo + size] for x in batch_data)
+            carry, loss_sum = chunk_fn(carry, chunk)
+            total = total + loss_sum
+            lo += size
+        return carry, total / nb
 
 
 class UserVecEpochPipeline:

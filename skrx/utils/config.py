@@ -88,6 +88,11 @@ class Config:
 class ModelConfig(Config):
     """Per-model hyper-parameter config with an optional search grid."""
 
+    # Universal TPU knob: cap on lax.scan length per compiled epoch program
+    # (None = whole epoch in one program; set e.g. 64 for very heavy steps —
+    # see skrx/models/pipeline.py).
+    max_scan_steps = None
+
     @classmethod
     def param_space(cls) -> Dict[str, list]:
         """Hyper-parameter grid for the search driver. Empty disables search
