@@ -9,6 +9,9 @@ from .data_iterator import (InteractionIterator, PointwiseIterator,
 from .preprocessor import Preprocessor
 from .movielens import MovieLens100k
 from . import synthetic
+# Logger lives in utils but is re-exported here for reference-API parity
+# (skrec.io.Logger, skrec/io/__init__.py)
+from ..utils.logger import Logger
 
 __all__ = [
     "BatchIterator",
@@ -17,5 +20,5 @@ __all__ = [
     "InteractionIterator", "PointwiseIterator", "PairwiseIterator",
     "SequentialPointwiseIterator", "SequentialPairwiseIterator",
     "UserVecIterator", "ItemVecIterator", "KGPairwiseIterator",
-    "Preprocessor", "MovieLens100k", "synthetic",
+    "Preprocessor", "MovieLens100k", "synthetic", "Logger",
 ]

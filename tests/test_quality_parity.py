@@ -122,6 +122,77 @@ class _TorchMultVAE(torch.nn.Module):
         return self.p1(z), kl
 
 
+def test_lightgcn_quality_parity(dataset, tmp_path, monkeypatch):
+    """Graph-propagation parity: torch-CPU LightGCN (reference loop,
+    LightGCN.py:62-216 semantics with dense A for the tiny test graph)
+    vs the skrx segment-sum implementation."""
+    monkeypatch.chdir(tmp_path)
+    path, ds = dataset
+    evaluator = RankingEvaluator(ds.train_data.to_user_dict(),
+                                 ds.test_data.to_user_dict(),
+                                 metric=("NDCG",), top_k=(10,), batch_size=64)
+    from skrx.models.LightGCN import build_bipartite_adj
+    adj = build_bipartite_adj(ds.train_data.to_user_item_pairs(),
+                              ds.num_users, ds.num_items, "pre")
+    A = torch.from_numpy(adj.toarray().astype(np.float32))
+
+    class TorchLightGCN:
+        def __init__(self, seed=0):
+            torch.manual_seed(seed)
+            d = 16
+            self.ue = torch.nn.Parameter(torch.empty(ds.num_users, d))
+            self.ie = torch.nn.Parameter(torch.empty(ds.num_items, d))
+            torch.nn.init.xavier_uniform_(self.ue)
+            torch.nn.init.xavier_uniform_(self.ie)
+            self.opt = torch.optim.Adam([self.ue, self.ie], lr=0.01)
+
+        def fwd(self):
+            ego = torch.cat([self.ue, self.ie], 0)
+            layers = [ego]
+            h = ego
+            for _ in range(2):
+                h = A @ h
+                layers.append(h)
+            c = torch.stack(layers, 1).mean(1)
+            return c[: ds.num_users], c[ds.num_users:]
+
+        def fit_and_best(self):
+            it = PairwiseIterator(ds.train_data, batch_size=256, shuffle=True)
+            best = -1.0
+            for _ in range(15):
+                for users, pos, neg in it:
+                    u = torch.from_numpy(users).long()
+                    i = torch.from_numpy(pos).long()
+                    j = torch.from_numpy(np.asarray(neg)).long()
+                    ua, ia = self.fwd()
+                    y_pos = (ua[u] * ia[i]).sum(-1)
+                    y_neg = (ua[u] * ia[j]).sum(-1)
+                    loss = -torch.nn.functional.logsigmoid(y_pos - y_neg).mean()
+                    reg = 0.5 * (self.ue[u].pow(2).sum() + self.ie[i].pow(2).sum()
+                                 + self.ie[j].pow(2).sum())
+                    loss = loss + 0.001 * reg / 256
+                    self.opt.zero_grad(); loss.backward(); self.opt.step()
+                best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            return best
+
+        def predict(self, users):
+            with torch.no_grad():
+                ua, ia = self.fwd()
+            return (ua[torch.from_numpy(np.asarray(users)).long()]
+                    @ ia.T).numpy()
+
+    torch_best = TorchLightGCN().fit_and_best()
+
+    from skrx.models.LightGCN import LightGCN
+    run = RunConfig(recommender="LightGCN", data_dir=path, file_column="UIRT",
+                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    test_batch_size=64, seed=2021)
+    model = LightGCN(run, dict(lr=0.01, reg=0.001, embed_size=16, n_layers=2,
+                               batch_size=256, epochs=15, early_stop=15))
+    skrx_ndcg = model.fit()["NDCG@10"]
+    assert skrx_ndcg > 0.9 * torch_best, (skrx_ndcg, torch_best)
+
+
 def test_multvae_quality_parity(dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = dataset
