@@ -2,7 +2,8 @@ from .mesh import (make_mesh, data_sharding, model_row_sharding, replicated,
                    shard_params_for_mf, DATA_AXIS, MODEL_AXIS, P, Mesh,
                    NamedSharding)
 from .topk_merge import sharded_topk_scores, local_then_global_topk
-from .distributed import initialize_distributed, is_multi_host, process_index
+from .distributed import (initialize_distributed, is_multi_host,
+                          process_index, global_batch_from_local)
 
 __all__ = [
     "make_mesh", "data_sharding", "model_row_sharding", "replicated",
@@ -10,4 +11,5 @@ __all__ = [
     "NamedSharding",
     "sharded_topk_scores", "local_then_global_topk",
     "initialize_distributed", "is_multi_host", "process_index",
+    "global_batch_from_local",
 ]

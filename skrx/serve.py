@@ -52,3 +52,18 @@ class TopKRecommender:
         seen = self._seen[users_arr]
         idx, vals = self._rank(scores, seen)
         return np.asarray(idx), np.asarray(vals)
+
+    def export_stablehlo(self, batch_size: int) -> bytes:
+        """AOT-export the ranking stage (scores -> top-K ids/values) as a
+        serialized StableHLO artifact (`jax.export`) — deployable to a
+        serving runtime without Python. The model's scoring stage is
+        model-specific; this covers the shared mask+rank tail."""
+        from jax import export as jexport
+
+        num_items = self._seen.shape  # noqa: F841  (doc only)
+        n = int(jnp.asarray(self.model.predict([0])).shape[1])
+        scores_spec = jax.ShapeDtypeStruct((batch_size, n), jnp.float32)
+        seen_spec = jax.ShapeDtypeStruct((batch_size, self._seen.shape[1]),
+                                         jnp.int32)
+        exported = jexport.export(self._rank)(scores_spec, seen_spec)
+        return bytes(exported.serialize())

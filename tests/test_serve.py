@@ -44,6 +44,21 @@ def test_topk_recommender_unfiltered(trained_model):
     np.testing.assert_array_equal(ids[0], np.argsort(-full, kind="stable")[:5])
 
 
+def test_export_stablehlo(trained_model):
+    server = TopKRecommender(trained_model, k=5)
+    blob = server.export_stablehlo(batch_size=4)
+    assert isinstance(blob, bytes) and len(blob) > 100
+    # round-trip: deserialize and execute
+    from jax import export as jexport
+    restored = jexport.deserialize(blob)
+    import jax.numpy as jnp
+    scores = jnp.zeros((4, trained_model.num_items), jnp.float32)
+    seen = jnp.full((4, server._seen.shape[1]),
+                    trained_model.num_items, jnp.int32)
+    idx, vals = restored.call(scores, seen)
+    assert idx.shape == (4, 5)
+
+
 def test_nan_guard(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from skrx.io import synthetic
