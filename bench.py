@@ -80,7 +80,7 @@ def bench_reference_cpu(dataset, num_epochs=2):
     return n_examples / elapsed
 
 
-def bench_skrx_tpu(dataset, num_epochs=5):
+def bench_skrx_tpu(dataset, num_epochs=25):
     """skrx whole-epoch on-device pipeline."""
     import jax
     import jax.numpy as jnp
@@ -113,14 +113,11 @@ def bench_skrx_tpu(dataset, num_epochs=5):
              + p["item_bias"][pos] ** 2 + p["item_bias"][neg] ** 2) * w)
         return loss + REG * reg_term
 
-    def train_step(carry, batch):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
-        updates, s = optimizer.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
-
-    carry = (params, opt_state)
+    # flat-parameter fused update (framework default for dense Adam)
+    from skrx.models.common import make_flat_train_step
+    train_step, flat0, opt_state0, _ = make_flat_train_step(optimizer,
+                                                            loss_fn, params)
+    carry = (flat0, opt_state0)
     # warmup/compile; float() forces full materialization (block_until_ready
     # alone does not synchronize through the axon tunnel)
     carry, loss = pipeline.run_epoch(jax.random.fold_in(key, 999), carry,

@@ -180,21 +180,31 @@ class ImplicitFeedback:
     # ---- TPU-specific device-ready views (no reference counterpart) ----
 
     @_memo
-    def to_padded_positive_table(self, bucket: int = 32) -> PaddedPositives:
+    def to_padded_positive_table(self, bucket: int = 32,
+                                 max_pos_cap: Optional[int] = None
+                                 ) -> PaddedPositives:
         """Build (num_users, max_pos) sorted positive-item table.
 
         max_pos is rounded up to a multiple of ``bucket`` to limit
-        recompilation across datasets with similar profiles.
+        recompilation across datasets with similar profiles. At production
+        scale a handful of ultra-heavy users can blow the table up
+        (U x max_interactions); ``max_pos_cap`` truncates their exclusion
+        sets (a random subsample) — negatives may then rarely collide with
+        one of their positives, which is far below metric noise.
         """
         user_dict = self.to_user_dict()
         lengths = np.zeros(self.num_users, dtype=np.int32)
         max_pos = 1
         for u, items in user_dict.items():
-            lengths[u] = len(items)
-            max_pos = max(max_pos, len(items))
+            lengths[u] = min(len(items),
+                             max_pos_cap or len(items) or 1)
+            max_pos = max(max_pos, lengths[u])
         max_pos = ((max_pos + bucket - 1) // bucket) * bucket
         table = np.full((self.num_users, max_pos), self.num_items, dtype=np.int32)
+        rng = np.random.default_rng(0)
         for u, items in user_dict.items():
+            if max_pos_cap is not None and len(items) > max_pos_cap:
+                items = rng.choice(items, max_pos_cap, replace=False)
             table[u, : len(items)] = np.sort(items)
         return PaddedPositives(table, lengths, pad_id=self.num_items)
 

@@ -139,15 +139,12 @@ class BPRMF(JaxRecommender):
                               lazy_adam_init(self.params["item_emb"]),
                               lazy_adam_init(self.params["item_bias"]))
         else:
-            def train_step(carry, batch):
-                params, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-                updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                           params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            self._train_step = train_step
+            # dense Adam over the RAVELED parameter vector: identical math
+            # (Adam is elementwise), ~1.7x fewer/fused update kernels
+            from .common import make_flat_train_step
+            (self._train_step, self._flat, self.opt_state,
+             self._unravel) = make_flat_train_step(self.optimizer, loss_fn,
+                                                   self.params)
 
         @jax.jit
         def predict_fn(params, users):
@@ -158,9 +155,20 @@ class BPRMF(JaxRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        (self.params, self.opt_state), loss = self.pipeline.run_epoch(
-            key, (self.params, self.opt_state), self._train_step)
+        if self.config.optimizer == "lazy_adam":
+            (self.params, self.opt_state), loss = self.pipeline.run_epoch(
+                key, (self.params, self.opt_state), self._train_step)
+        else:
+            (self._flat, self.opt_state), loss = self.pipeline.run_epoch(
+                key, (self._flat, self.opt_state), self._train_step)
+            self.params = self._unravel(self._flat)
         return float(loss)
+
+    def _load_train_state(self, state) -> None:
+        super()._load_train_state(state)
+        if self.config.optimizer != "lazy_adam":
+            from jax.flatten_util import ravel_pytree
+            self._flat, _ = ravel_pytree(self.params)
 
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
