@@ -19,7 +19,7 @@ import optax
 from ..ops import bpr_loss, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["FPMC", "FPMCConfig"]
@@ -79,8 +79,7 @@ class FPMC(EpochTrainedRecommender):
                 + p["IL"][pos] ** 2 + p["IL"][neg] ** 2, -1) * w)
             return loss + reg * reg_term
 
-        self._train_step = make_train_step(self.optimizer, loss_fn)
-        self._finalize_setup(run_config.seed)
+        self._finalize_setup_flat(run_config.seed, loss_fn)
 
         # Last training item per user for prediction (FPMC.py:147-150).
         last_items = np.zeros(self.num_users, dtype=np.int32)

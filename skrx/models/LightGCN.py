@@ -26,7 +26,7 @@ from ..ops import bpr_loss, get_initializer
 from ..ops.graph import Graph, graph_from_sp_matrix, propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import EpochTrainedRecommender, make_train_step
+from .common import EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["LightGCN", "LightGCNConfig"]
@@ -123,8 +123,7 @@ class LightGCN(EpochTrainedRecommender):
                 + p["item_emb"][neg] ** 2, -1) * w)
             return loss + reg * reg_term / batch_size
 
-        self._train_step = make_train_step(self.optimizer, loss_fn)
-        self._finalize_setup(run_config.seed)
+        self._finalize_setup_flat(run_config.seed, loss_fn)
         self._final_emb = None
 
     def _load_adj_mat(self, adj_type: str) -> sp.csr_matrix:

@@ -27,7 +27,7 @@ from ..ops import get_initializer
 from ..ops.mm_graph import cosine_knn
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["MGCN", "MGCNConfig"]
@@ -248,8 +248,7 @@ class MGCN(EpochTrainedRecommender):
                 + info_nce(side_u[users], cont_u[users], 0.2, w_b)
             return mf + reg_w * reg + cl_w * cl
 
-        self._train_step = make_train_step(self.optimizer, loss_fn)
-        self._finalize_setup(run_config.seed)
+        self._finalize_setup_flat(run_config.seed, loss_fn)
 
         @jax.jit
         def embeddings_fn(p):

@@ -27,7 +27,7 @@ import optax
 
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["SGAT", "SGATConfig"]
@@ -170,8 +170,7 @@ class SGAT(EpochTrainedRecommender):
                                      * w)
             return loss + reg * reg_term
 
-        self._train_step = make_train_step(self.optimizer, loss_fn)
-        self._finalize_setup(run_config.seed)
+        self._finalize_setup_flat(run_config.seed, loss_fn)
 
         # test sequences: last n_seqs items, pre-padded (SGAT.py:91-96)
         from ..utils import pad_sequences

@@ -17,7 +17,7 @@ import optax
 from ..ops import bpr_loss, euclidean_distance, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["TransRec", "TransRecConfig"]
@@ -80,8 +80,7 @@ class TransRec(EpochTrainedRecommender):
                 + jnp.sum((p["item_bias"][pos] ** 2 + p["item_bias"][neg] ** 2) * w))
             return loss + reg * reg_term
 
-        self._train_step = make_train_step(self.optimizer, loss_fn)
-        self._finalize_setup(run_config.seed)
+        self._finalize_setup_flat(run_config.seed, loss_fn)
 
         last_items = np.zeros(self.num_users, dtype=np.int32)
         for u, seq in self.user_pos_dict.items():

@@ -82,15 +82,38 @@ class EpochTrainedRecommender(JaxRecommender):
     _train_step = None
     _rng = None
 
+    _use_flat = False
+
     def _finalize_setup(self, run_seed: int):
         self.opt_state = self.optimizer.init(self.params)
         self._rng = jax.random.key(run_seed + 1)
 
+    def _finalize_setup_flat(self, run_seed: int, loss_fn: Callable):
+        """Fused flat-parameter variant of :meth:`_finalize_setup` for models
+        whose step is a plain loss_fn + elementwise optimizer (see
+        :func:`make_flat_train_step`)."""
+        (self._train_step, self._flat, self.opt_state,
+         self._unravel) = make_flat_train_step(self.optimizer, loss_fn,
+                                               self.params)
+        self._rng = jax.random.key(run_seed + 1)
+        self._use_flat = True
+
     def _train_epoch(self, epoch: int) -> Optional[float]:
         key = jax.random.fold_in(self._rng, epoch)
-        (self.params, self.opt_state), loss = self.pipeline.run_epoch(
-            key, (self.params, self.opt_state), self._train_step)
+        if self._use_flat:
+            (self._flat, self.opt_state), loss = self.pipeline.run_epoch(
+                key, (self._flat, self.opt_state), self._train_step)
+            self.params = self._unravel(self._flat)
+        else:
+            (self.params, self.opt_state), loss = self.pipeline.run_epoch(
+                key, (self.params, self.opt_state), self._train_step)
         return float(loss)
+
+    def _load_train_state(self, state) -> None:
+        super()._load_train_state(state)
+        if self._use_flat:
+            from jax.flatten_util import ravel_pytree
+            self._flat, _ = ravel_pytree(self.params)
 
     def predict(self, users):
         import jax.numpy as jnp
