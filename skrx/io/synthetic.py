@@ -6,8 +6,6 @@ reproducible power-law interaction log with the same file layout, so tests
 and benchmarks run hermetically (no network).
 """
 import os
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -10,7 +10,7 @@ early stopping on NDCG@10, colored metric logging. Concrete models supply
 import os
 import platform
 import time
-from typing import Dict, Iterable, List, Optional, Tuple, Union
+from typing import Iterable, List, Optional, Tuple, Union
 
 import numpy as np
 

@@ -24,8 +24,7 @@ than sorted scatters, so the COO path remains the default. This module is
 kept as the alternative formulation for backends where gathers beat
 scatters and as the basis for a future Pallas DMA-pipelined variant.
 """
-from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

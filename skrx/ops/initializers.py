@@ -6,8 +6,6 @@ Capability parity with reference skrec/utils/torch.py:88-111
 variants, zeros/ones). Implemented as JAX initializer callables
 ``(key, shape, dtype) -> Array``.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.nn import initializers as jinit

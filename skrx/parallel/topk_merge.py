@@ -8,7 +8,6 @@ and re-topped — the full (B, N) matrix never exists on one chip. This is the
 standard two-stage top-k merge (exact: the global top-k is contained in the
 union of per-shard top-k).
 """
-from functools import partial
 from typing import Callable
 
 import jax
@@ -16,7 +15,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import MODEL_AXIS
 
 __all__ = ["sharded_topk_scores", "local_then_global_topk"]
 

@@ -7,7 +7,7 @@ per-row Python truncation, because its output feeds the TPU input pipeline and
 is on the preprocessing hot path for sequence models.
 """
 from collections import OrderedDict
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import hashlib
 import re
