@@ -117,3 +117,44 @@ def test_batch_randint_choice():
     assert len(res) == 2
     assert len(np.atleast_1d(res[0])) == 3
     assert not np.isin(np.atleast_1d(res[1]), [2, 3]).any()
+
+
+def test_typeassert_and_timer(capsys):
+    from skrx.utils import typeassert, timer
+
+    @typeassert(x=int, y=(int, float))
+    def f(x, y=1.0):
+        return x + y
+
+    assert f(1, 2.0) == 3.0
+    with pytest.raises(TypeError):
+        f("a", 2.0)
+
+    @timer
+    def g():
+        return 42
+
+    assert g() == 42
+    assert "took" in capsys.readouterr().out
+
+
+def test_md5sum(tmp_path):
+    from skrx.utils import md5sum
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"hello world")
+    assert md5sum(str(p)) == "5eb63bbbe01eeed093cb22bb8f5acdc3"
+
+
+def test_preprocessor_load_data_file(tmp_path):
+    from skrx.io import Preprocessor
+    raw = tmp_path / "log.rating"
+    raw.write_text("u1\t5\t4\t100\nu1\t6\t3\t101\nu2\t5\t5\t102\n")
+    p = Preprocessor()
+    p.load_data(str(raw), sep="\t", columns="UIRT")
+    assert len(p.all_data) == 3
+    p.remap_data_id()
+    assert set(p.all_data["user"]) == {0, 1}
+    with pytest.raises(FileNotFoundError):
+        p.load_data(str(tmp_path / "missing"), sep="\t", columns="UIRT")
+    with pytest.raises(ValueError):
+        p.load_data(str(raw), sep="\t", columns="BAD")
