@@ -34,7 +34,9 @@ class RunConfig(Config):
     # --- TPU-native extensions (no reference counterpart) ---
     # Mesh axis sizes (data, model). None => single device.
     mesh_shape: Optional[Tuple[int, int]] = None
-    # Compute dtype for dense towers: "float32" | "bfloat16".
+    # Compute dtype for dense towers: "float32" | "bfloat16". Reserved:
+    # training currently runs float32 everywhere for metric parity with the
+    # reference; bfloat16 matmul paths are a planned opt-in.
     compute_dtype: str = "float32"
     # Checkpoint/resume: save params+opt_state every N epochs to
     # checkpoint_dir; resume=True restores the latest checkpoint at fit().
