@@ -53,6 +53,8 @@ class BERT4RecConfig(ModelConfig):
     epochs: int = 3000
     early_stop: int = 80
     verbose: int = 10           # evaluate every `verbose` epochs
+    # "bfloat16": transformer blocks in bf16 (f32 master weights + logits)
+    compute_dtype: str = "float32"
 
     def _validate(self):
         assert isinstance(self.max_seq_len, int) and self.max_seq_len > 0
@@ -148,8 +150,14 @@ class BERT4Rec(JaxRecommender):
 
         heads, att_drop, h_drop = cfg.att_heads, cfg.att_drop, cfg.h_drop
         act = jax.nn.gelu if cfg.h_act == "gelu" else jax.nn.relu
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else jnp.float32)
 
         def encode(p, tokens, rng=None):
+            if compute_dtype != jnp.float32:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if a.dtype == jnp.float32 else a, p)
             b, t = tokens.shape
             x = p["tok_emb"][tokens] + p["pos_emb"][None, :t, :]
             x = layer_norm(x, p["ln_e_s"], p["ln_e_b"])
@@ -176,7 +184,7 @@ class BERT4Rec(JaxRecommender):
                 ff = dense(act(dense(x, blk["ff1"])), blk["ff2"])
                 ff = dropout(k3, ff, h_drop)
                 x = layer_norm(x + ff, blk["ln2_s"], blk["ln2_b"])
-            return x
+            return x.astype(jnp.float32)
 
         def mlm_logits(p, hidden):
             h = act(dense(hidden, p["mlm_dense"]))

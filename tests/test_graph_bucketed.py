@@ -27,9 +27,10 @@ def test_bucketed_matches_spmm_and_transpose_grad(seed):
 
 
 def test_bucketed_isolated_nodes():
-    mat = sp.csr_matrix((10, 10), dtype=np.float32)  # empty graph
-    mat[0, 1] = 2.0
-    g = bucketed_from_sp_matrix(mat.tocsr())
+    # single edge 0 -> 1 with weight 2; all other nodes isolated
+    mat = sp.csr_matrix((np.array([2.0], np.float32),
+                         (np.array([0]), np.array([1]))), shape=(10, 10))
+    g = bucketed_from_sp_matrix(mat)
     x = jnp.ones((10, 4))
     out = np.asarray(propagate_bucketed(g, x))
     expected = np.zeros((10, 4)); expected[0] = 2.0
