@@ -6,17 +6,23 @@ programs — SURVEY §4). Must run before jax is imported anywhere.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on a virtual CPU mesh
-prev = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in prev:
-    os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+# Tests default to a virtual 8-device CPU mesh. SKRX_TEST_TPU=1 runs them on
+# the real TPU instead (useful to verify device numerics; the mesh-dependent
+# tests will then see a single device and skip/adjust).
+_USE_TPU = os.environ.get("SKRX_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    prev = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in prev:
+        os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 
 # The axon sitecustomize force-registers the TPU backend via
 # jax.config.update("jax_platforms", ...) which overrides the env var, so we
 # override it back before any backend is initialized.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
