@@ -67,6 +67,31 @@ def test_metrics_with_ties_and_zeros():
     assert hits_prec[0] == 1.0
 
 
+def test_evaluator_top_show_selection():
+    """top_k tuple selects the right cumulative columns
+    (evaluator.py:207-213 semantics)."""
+    from skrx.eval import RankingEvaluator
+
+    rng = np.random.default_rng(5)
+    n = 100
+    scores = rng.standard_normal((6, n)).astype(np.float32)
+    test = {u: rng.permutation(n)[:4] for u in range(6)}
+
+    class M:
+        def predict(self, users):
+            return jnp.asarray(scores[np.asarray(users)])
+
+    full = RankingEvaluator({}, test, metric=("NDCG", "Recall"), top_k=50,
+                            batch_size=6).evaluate(M())
+    sel = RankingEvaluator({}, test, metric=("NDCG", "Recall"),
+                           top_k=(5, 20, 50), batch_size=6).evaluate(M())
+    for k in (5, 20, 50):
+        np.testing.assert_allclose(sel[f"NDCG@{k}"], full[f"NDCG@{k}"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(sel[f"Recall@{k}"], full[f"Recall@{k}"],
+                                   rtol=1e-6)
+
+
 def test_mask_items_drops_padding():
     scores = jnp.ones((2, 5))
     table = jnp.array([[0, 5, 5], [2, 3, 5]], dtype=jnp.int32)  # pad id 5
