@@ -159,5 +159,5 @@ class CDAE(JaxRecommender):
 
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        rows = self.pipeline._mat[users]
+        rows = self.pipeline.rows_for(users)
         return self._predict_fn(self.params, rows, users)

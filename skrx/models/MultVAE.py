@@ -7,9 +7,10 @@ Behavioral parity with reference skrec/recommender/MultVAE.py:24-220:
 L2-normalized + dropout input, tanh q/p MLPs with normal(0.01) init, split
 mu/logvar head, reparameterization during training only, multinomial
 log-likelihood + KL annealed by min(cap, step/anneal_steps), weight reg
-2*reg*l2_loss, Adam. TPU re-design: the dense user-interaction matrix lives
-in HBM and the whole epoch (gather rows, dropout, forward/backward) is one
-jitted `lax.scan` (skrx/models/pipeline.py UserVecEpochPipeline).
+2*reg*l2_loss, Adam. TPU re-design: interaction rows are scattered on device
+per batch from the padded positive table (the dense U x N matrix is never
+materialized) and the whole epoch (build rows, dropout, forward/backward) is
+one jitted `lax.scan` (skrx/models/pipeline.py UserVecEpochPipeline).
 """
 from typing import Dict, List, Optional
 
@@ -167,6 +168,6 @@ class MultVAE(JaxRecommender):
         return float(loss)
 
     def predict(self, users) -> jnp.ndarray:
-        users = np.asarray(users, dtype=np.int32)
-        rows = self.pipeline._mat[jnp.asarray(users)]
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        rows = self.pipeline.rows_for(users)
         return self._predict_fn(self.params, rows)
