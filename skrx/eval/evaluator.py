@@ -134,10 +134,12 @@ class RankingEvaluator:
 
     def set_train_data(self, user_train_dict: Optional[Dict[int, np.ndarray]] = None):
         self.user_pos_train = user_train_dict if user_train_dict is not None else {}
+        self._data_version = getattr(self, "_data_version", 0) + 1
 
     def set_test_data(self, user_test_dict: Dict[int, np.ndarray]):
         assert len(user_test_dict) > 0, "'user_test_dict' cannot be empty."
         self.user_pos_test = user_test_dict
+        self._data_version = getattr(self, "_data_version", 0) + 1
 
     @property
     def metrics_list(self) -> List[str]:
@@ -153,7 +155,7 @@ class RankingEvaluator:
     def _tables_for(self, users: np.ndarray, num_items: int):
         """Padded train/test tables for the given users, memoized on the
         full-width layout so every eval batch compiles to the same shapes."""
-        key = (id(self.user_pos_train), id(self.user_pos_test), num_items)
+        key = (getattr(self, "_data_version", 0), num_items)
         if getattr(self, "_table_key", None) != key:
             all_users = np.arange(
                 max((max(self.user_pos_test, default=0),
