@@ -18,6 +18,7 @@ import itertools
 from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -167,6 +168,81 @@ class RankingEvaluator:
             self._table_key = key
         return (self._train_table[users], self._test_table[users],
                 self._test_len[users])
+
+    def evaluate_chunked(self, model, num_items: int, chunk_size: int = 65536,
+                         test_users: Optional[Iterable[int]] = None
+                         ) -> MetricReport:
+        """Huge-catalog evaluation that NEVER materializes the (B, N) score
+        matrix (SURVEY §7.3): the model must expose
+        ``predict_chunk(users, item_lo, item_hi) -> (B, hi-lo)`` scores; per
+        chunk we mask train items and keep a running top-k merge, then the
+        metrics run on the merged top-k (identical numbers to
+        :meth:`evaluate` — tested)."""
+        assert hasattr(model, "predict_chunk"), \
+            "model must expose predict_chunk(users, lo, hi) for chunked eval"
+        from ..ops.metrics import (hits_against_padded_truth,
+                                   ranking_metrics_from_hits, mask_items)
+
+        if test_users is not None:
+            test_users = [int(u) for u in test_users if int(u) in self.user_pos_test]
+        else:
+            test_users = [int(u) for u in self.user_pos_test.keys()]
+        users = np.asarray(test_users, dtype=np.int32)
+        n_users = len(users)
+        bs = self.batch_size
+        k = self.max_top
+
+        @jax.jit
+        def merge(best_vals, best_idx, scores, train_table, offset):
+            width = scores.shape[1]
+            shifted = train_table - offset
+            # negative indices would WRAP in the scatter; send both
+            # below-chunk and above-chunk ids out of bounds (mode='drop')
+            shifted = jnp.where(shifted < 0, width, shifted)
+            scores = mask_items(scores, shifted)
+            vals, idx = jax.lax.top_k(scores, min(k, scores.shape[1]))
+            idx = idx + offset
+            all_vals = jnp.concatenate([best_vals, vals], axis=1)
+            all_idx = jnp.concatenate([best_idx, idx], axis=1)
+            top_vals, pos = jax.lax.top_k(all_vals, k)
+            return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+        @jax.jit
+        def batch_metrics(top_idx, test_table, test_len, weight):
+            hits = hits_against_padded_truth(top_idx, test_table)
+            per_user = ranking_metrics_from_hits(hits, test_len, self.metrics)
+            return jnp.sum(per_user * weight[:, None, None], axis=0)
+
+        metric_sum = None
+        for lo in range(0, n_users, bs):
+            batch_users = users[lo: lo + bs]
+            n_real = len(batch_users)
+            pad = bs - n_real
+            if pad:
+                batch_users = np.concatenate(
+                    [batch_users, np.full(pad, batch_users[-1], np.int32)])
+            train_table, test_table, test_len = self._tables_for(batch_users,
+                                                                 num_items)
+            train_table = jnp.asarray(train_table)
+            best_vals = jnp.full((bs, k), -jnp.inf, jnp.float32)
+            best_idx = jnp.zeros((bs, k), jnp.int32)
+            for item_lo in range(0, num_items, chunk_size):
+                item_hi = min(item_lo + chunk_size, num_items)
+                scores = jnp.asarray(
+                    model.predict_chunk(batch_users, item_lo, item_hi),
+                    jnp.float32)
+                best_vals, best_idx = merge(best_vals, best_idx, scores,
+                                            train_table, item_lo)
+            weight = jnp.asarray(((np.arange(bs) < n_real)
+                                  & (test_len > 0)).astype(np.float32))
+            batch_sum = batch_metrics(best_idx, jnp.asarray(test_table),
+                                      jnp.asarray(np.maximum(test_len, 1)),
+                                      weight)
+            metric_sum = batch_sum if metric_sum is None else metric_sum + batch_sum
+
+        final = np.asarray(metric_sum) / n_users
+        final = final[:, self.top_show - 1].reshape(-1)
+        return MetricReport(self.metrics_list, final)
 
     def evaluate(self, model, test_users: Optional[Iterable[int]] = None) -> MetricReport:
         assert hasattr(model, "predict"), "the model must have a 'predict' method"

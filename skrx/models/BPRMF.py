@@ -10,6 +10,7 @@ TPU: training runs as one jitted whole-epoch `lax.scan`
 (skrx/models/pipeline.py) with on-device negative sampling, and predict is a
 single (B,D)x(D,N) matmul on the MXU.
 """
+from functools import partial
 from typing import Dict
 
 import jax
@@ -153,6 +154,14 @@ class BPRMF(JaxRecommender):
 
         self._predict_fn = predict_fn
 
+        @partial(jax.jit, static_argnames=("lo", "hi"))
+        def predict_chunk_fn(params, users, lo, hi):
+            ue = params["user_emb"][users]
+            return (ue @ params["item_emb"][lo:hi].T
+                    + params["item_bias"][None, lo:hi])
+
+        self._predict_chunk_fn = predict_chunk_fn
+
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
         if self.config.optimizer == "lazy_adam":
@@ -173,3 +182,9 @@ class BPRMF(JaxRecommender):
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        """Scores for items [item_lo, item_hi) only — chunked-catalog eval
+        (evaluator.evaluate_chunked) never materializes (B, N)."""
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return self._predict_chunk_fn(self.params, users, item_lo, item_hi)

@@ -90,3 +90,24 @@ def test_evaluator_group_eval(data_dir, tmp_path, monkeypatch):
     assert 1 <= len(groups) <= 4
     for label, report in groups:
         assert "NDCG@10" in report.results
+
+
+def test_bprmf_predict_chunk_matches_full(data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+    from skrx.models.BPRMF import BPRMF
+    m = BPRMF(_run_cfg(data_dir), dict(lr=0.05, n_dim=8, batch_size=128,
+                                       epochs=1, early_stop=1))
+    m.fit()
+    users = [0, 1, 2]
+    full = np.asarray(m.predict(users))
+    parts = [np.asarray(m.predict_chunk(users, lo, min(lo + 150, m.num_items)))
+             for lo in range(0, m.num_items, 150)]
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), full, rtol=1e-6)
+
+    # chunked evaluator end-to-end equals full evaluator
+    r_full = m.evaluator.evaluate(m)
+    r_chunk = m.evaluator.evaluate_chunked(m, num_items=m.num_items,
+                                           chunk_size=128)
+    for k in r_full.metrics():
+        np.testing.assert_allclose(r_chunk[k], r_full[k], rtol=1e-5, atol=1e-7)

@@ -115,3 +115,31 @@ def test_leave_one_out_recall_is_hitratio():
     # leave-one-out: recall == hit ratio in {0,1}; MAP == MRR (SURVEY/evaluator doc)
     assert set(np.unique(got[:, 0])).issubset({0.0, 1.0})
     np.testing.assert_allclose(got[:, 1], got[:, 2], rtol=1e-6)
+
+
+def test_chunked_evaluation_matches_full():
+    """evaluate_chunked (running top-k merge over item chunks) must produce
+    the same metrics as the full (B, N) evaluation."""
+    from skrx.eval import RankingEvaluator
+
+    rng = np.random.default_rng(7)
+    u, n = 30, 500
+    scores = rng.standard_normal((u, n)).astype(np.float32)
+    train = {x: rng.permutation(n)[:20] for x in range(u)}
+    test = {x: rng.permutation(n)[:5] for x in range(u)}
+
+    class M:
+        def predict(self, users):
+            return jnp.asarray(scores[np.asarray(users)])
+
+        def predict_chunk(self, users, lo, hi):
+            return jnp.asarray(scores[np.asarray(users), lo:hi])
+
+    ev = RankingEvaluator(train, test, metric=("Precision", "Recall", "NDCG",
+                                               "MRR", "MAP"),
+                          top_k=(5, 10, 20), batch_size=8)
+    full = ev.evaluate(M())
+    chunked = ev.evaluate_chunked(M(), num_items=n, chunk_size=128)
+    for m in full.metrics():
+        np.testing.assert_allclose(chunked[m], full[m], rtol=1e-5,
+                                   atol=1e-7)
