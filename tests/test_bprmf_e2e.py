@@ -103,7 +103,9 @@ def test_bprmf_predict_chunk_matches_full(data_dir, tmp_path, monkeypatch):
     full = np.asarray(m.predict(users))
     parts = [np.asarray(m.predict_chunk(users, lo, min(lo + 150, m.num_items)))
              for lo in range(0, m.num_items, 150)]
-    np.testing.assert_allclose(np.concatenate(parts, axis=1), full, rtol=1e-6)
+    # sliced matmul reassociates the contraction: tiny float32 differences
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), full, rtol=1e-4,
+                               atol=1e-6)
 
     # chunked evaluator end-to-end equals full evaluator
     r_full = m.evaluator.evaluate(m)
