@@ -22,7 +22,7 @@ from ..ops.graph import Graph, graph_from_sp_matrix, propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .SelfCF import _norm_adj_eps
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["BM3", "BM3Config"]
@@ -55,7 +55,7 @@ class BM3Config(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class BM3(EpochTrainedRecommender):
+class BM3(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = BM3Config(**model_config)
         super().__init__(run_config, self.config)
@@ -184,3 +184,6 @@ class BM3(EpochTrainedRecommender):
         u_on, i_on = self._embeddings_fn(self.params)
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_on[users] @ i_on.T
+
+    def _chunk_embeddings(self):
+        return self._embeddings_fn(self.params)

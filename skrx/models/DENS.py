@@ -27,7 +27,7 @@ from ..ops import get_initializer
 from ..ops.graph import graph_from_sp_matrix, propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["DENS", "DENSConfig"]
@@ -67,7 +67,7 @@ class DENSConfig(ModelConfig):
         assert isinstance(self.warmup, int) and self.warmup >= 0
 
 
-class DENS(EpochTrainedRecommender):
+class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = DENSConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -257,3 +257,8 @@ class DENS(EpochTrainedRecommender):
         u_all, i_all = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
+
+    def _chunk_embeddings(self):
+        if self._final is None:
+            self._final = self._embeddings_fn(self.params)
+        return self._final

@@ -25,7 +25,7 @@ from ..ops.mm_graph import cached_mm_edges
 from ..ops.sampling import gumbel_topk_without_replacement
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["FREEDOM", "FREEDOMConfig"]
@@ -61,7 +61,7 @@ class FREEDOMConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class FREEDOM(EpochTrainedRecommender):
+class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = FREEDOMConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -210,3 +210,7 @@ class FREEDOM(EpochTrainedRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
 
+    def _chunk_embeddings(self):
+        if self._final is None:
+            self._final = self._forward(self.params, self._full_edges())
+        return self._final

@@ -23,7 +23,7 @@ from ..ops import get_initializer
 from ..ops.sampling import gumbel_topk_without_replacement
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["LayerGCN", "LayerGCNConfig"]
@@ -54,7 +54,7 @@ class LayerGCNConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class LayerGCN(EpochTrainedRecommender):
+class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = LayerGCNConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -188,3 +188,8 @@ class LayerGCN(EpochTrainedRecommender):
         u_all, i_all = self._final_emb
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
+
+    def _chunk_embeddings(self):
+        if self._final_emb is None:
+            self._final_emb = self._forward(self.params, self._full_edges())
+        return self._final_emb

@@ -23,7 +23,7 @@ from scipy.sparse.linalg import svds
 from ..ops import get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender, make_train_step
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["LightGCL", "LightGCLConfig"]
@@ -54,7 +54,7 @@ class LightGCLConfig(ModelConfig):
         assert isinstance(self.lambda2, float) and self.lambda2 >= 0
 
 
-class LightGCL(EpochTrainedRecommender):
+class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = LightGCLConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -181,3 +181,6 @@ class LightGCL(EpochTrainedRecommender):
         E_u, E_i = self._embeddings_fn(self.params)
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return E_u[users] @ E_i.T
+
+    def _chunk_embeddings(self):
+        return self._embeddings_fn(self.params)

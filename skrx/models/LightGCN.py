@@ -26,7 +26,7 @@ from ..ops import bpr_loss, get_initializer
 from ..ops.graph import Graph, graph_from_sp_matrix, propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["LightGCN", "LightGCNConfig"]
@@ -72,7 +72,7 @@ def build_bipartite_adj(user_item_pairs: np.ndarray, num_users: int,
     raise ValueError(adj_type)
 
 
-class LightGCN(EpochTrainedRecommender):
+class LightGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = LightGCNConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -149,3 +149,8 @@ class LightGCN(EpochTrainedRecommender):
         u_all, i_all = self._final_emb
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
+
+    def _chunk_embeddings(self):
+        if self._final_emb is None:
+            self._final_emb = self._forward_gcn(self.params)
+        return self._final_emb

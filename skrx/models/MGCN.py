@@ -27,7 +27,7 @@ from ..ops import get_initializer
 from ..ops.mm_graph import cosine_knn
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["MGCN", "MGCNConfig"]
@@ -77,7 +77,7 @@ def _weighted_knn_edges(features: np.ndarray, k: int):
     return rows, cols, vals
 
 
-class MGCN(EpochTrainedRecommender):
+class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = MGCNConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -268,3 +268,8 @@ class MGCN(EpochTrainedRecommender):
         u_all, i_all = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
+
+    def _chunk_embeddings(self):
+        if self._final is None:
+            self._final = self._embeddings_fn(self.params)
+        return self._final

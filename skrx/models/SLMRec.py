@@ -311,3 +311,10 @@ class SLMRec(EpochTrainedRecommender):
         u_all, i_all = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return jax.nn.sigmoid(u_all[users] @ i_all.T)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        if self._final is None:
+            self._final = self._compute(self.params)
+        u_all, i_all = self._final
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return jax.nn.sigmoid(u_all[users] @ i_all[item_lo:item_hi].T)

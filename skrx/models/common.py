@@ -68,6 +68,31 @@ def make_flat_train_step(optimizer: optax.GradientTransformation,
     return train_step, flat0, opt_state0, unravel
 
 
+class ChunkedDotPredictMixin:
+    """Adds ``predict_chunk(users, lo, hi)`` for models whose full-catalog
+    score is ``user_vectors @ item_vectors.T (+ bias)``: enables
+    RankingEvaluator.evaluate_chunked / huge catalogs without materializing
+    (B, N). Subclasses implement ``_chunk_embeddings() -> (u_all, i_all)``
+    (and optionally ``_chunk_bias() -> (N,) or None``)."""
+
+    def _chunk_embeddings(self):
+        raise NotImplementedError
+
+    def _chunk_bias(self):
+        return None
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int):
+        import jax.numpy as jnp
+
+        u_all, i_all = self._chunk_embeddings()
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        scores = u_all[users] @ i_all[item_lo:item_hi].T
+        bias = self._chunk_bias()
+        if bias is not None:
+            scores = scores + bias[None, item_lo:item_hi]
+        return scores
+
+
 class EpochTrainedRecommender(JaxRecommender):
     """Base for models trained by a whole-epoch device pipeline.
 

@@ -113,3 +113,18 @@ def test_bprmf_predict_chunk_matches_full(data_dir, tmp_path, monkeypatch):
                                            chunk_size=128)
     for k in r_full.metrics():
         np.testing.assert_allclose(r_chunk[k], r_full[k], rtol=1e-5, atol=1e-7)
+
+
+def test_lightgcn_chunked_eval_matches(data_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.LightGCN import LightGCN
+    m = LightGCN(_run_cfg(data_dir), dict(lr=0.01, embed_size=8, n_layers=2,
+                                          batch_size=256, epochs=2,
+                                          early_stop=2))
+    m.fit()
+    r_full = m.evaluator.evaluate(m)
+    r_chunk = m.evaluator.evaluate_chunked(m, num_items=m.num_items,
+                                           chunk_size=128)
+    for k in r_full.metrics():
+        np.testing.assert_allclose(r_chunk[k], r_full[k], rtol=1e-4,
+                                   atol=1e-6)
