@@ -275,3 +275,8 @@ class BERT4Rec(JaxRecommender):
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        full = self._predict_fn(self.params, users)
+        return full[:, item_lo:item_hi]

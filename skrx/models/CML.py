@@ -128,3 +128,12 @@ class CML(EpochTrainedRecommender):
             return -dists
 
         self._predict_fn = predict_fn
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        p = self.params
+        ue = p["user_emb"][users]
+        dists = jnp.sqrt(jnp.sum(
+            (ue[:, None, :] - p["item_emb"][None, item_lo:item_hi, :]) ** 2,
+            -1) + 1e-12)
+        return -dists

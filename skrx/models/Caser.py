@@ -167,3 +167,8 @@ class Caser(EpochTrainedRecommender):
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
             key, carry, self._step_with_key)
         return float(loss)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        full = self._predict_fn(self.params, users)
+        return full[:, item_lo:item_hi]

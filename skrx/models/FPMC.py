@@ -94,3 +94,10 @@ class FPMC(EpochTrainedRecommender):
             return ui @ p["IU"].T + last @ p["IL"].T
 
         self._predict_fn = predict_fn
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        p = self.params
+        ui = p["UI"][users]
+        last = p["LI"][self._last_items[users]]
+        return ui @ p["IU"][item_lo:item_hi].T + last @ p["IL"][item_lo:item_hi].T

@@ -14,6 +14,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops import bpr_loss, get_initializer
@@ -134,3 +135,8 @@ class HGN(EpochTrainedRecommender):
             return res
 
         self._predict_fn = predict_fn
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        full = self._predict_fn(self.params, users)
+        return full[:, item_lo:item_hi]

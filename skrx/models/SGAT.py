@@ -200,3 +200,10 @@ class SGAT(EpochTrainedRecommender):
             self._final_items = self._propagate_items(self.params)
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, self._final_items, users)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+        if self._final_items is None:
+            self._final_items = self._propagate_items(self.params)
+        users_j = jnp.asarray(np.asarray(users, dtype=np.int32))
+        full = self._predict_fn(self.params, self._final_items, users_j)
+        return full[:, item_lo:item_hi]  # head embedding dominates; slice ok

@@ -143,3 +143,35 @@ def test_chunked_evaluation_matches_full():
     for m in full.metrics():
         np.testing.assert_allclose(chunked[m], full[m], rtol=1e-5,
                                    atol=1e-7)
+
+
+@pytest.mark.parametrize("name,params", [
+    ("TransRec", dict(lr=0.01, embed_size=8, batch_size=128)),
+    ("CML", dict(lr=0.05, reg=1.0, embed_size=8, dns=3, batch_size=128)),
+    ("HGN", dict(lr=0.01, seq_L=4, seq_T=2, embed_size=8, batch_size=128)),
+    ("SASRec", dict(lr=0.01, hidden_units=8, max_len=8, num_blocks=1,
+                    num_heads=1, batch_size=32)),
+])
+def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
+    """evaluate_chunked == evaluate across model families."""
+    monkeypatch.chdir(tmp_path)
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.utils import ModelRegistry
+
+    data = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                      num_items=60, num_ratings=800, seed=3)
+    reg = ModelRegistry()
+    assert reg.load_skrx_model(name)
+    cls, _ = reg.get_model(name)
+    run = RunConfig(recommender=name, data_dir=data, file_column="UIRT",
+                    sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
+                    test_batch_size=16, seed=1)
+    m = cls(run, dict(params, epochs=1, early_stop=1))
+    m.fit()
+    r_full = m.evaluator.evaluate(m)
+    n = np.asarray(m.predict([0])).shape[1]
+    r_chunk = m.evaluator.evaluate_chunked(m, num_items=n, chunk_size=17)
+    for k in r_full.metrics():
+        np.testing.assert_allclose(r_chunk[k], r_full[k], rtol=1e-4,
+                                   atol=1e-6)
