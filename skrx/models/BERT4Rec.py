@@ -30,6 +30,7 @@ from ..ops.attention import dense, dropout, layer_norm
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import CachedUserVecChunkMixin
 from .pipeline import pad_to_batches
 
 __all__ = ["BERT4Rec", "BERT4RecConfig"]
@@ -66,7 +67,7 @@ class BERT4RecConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class BERT4Rec(JaxRecommender):
+class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = BERT4RecConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -254,16 +255,34 @@ class BERT4Rec(JaxRecommender):
                        L - 1).astype(np.int32))
 
         @jax.jit
-        def predict_fn(p, users):
+        def user_vec_fn(p, users):
             tokens = self._test_tokens[users]
             hidden = encode(p, tokens, None)
             pos = self._test_mask_pos[users]
             h = jnp.take_along_axis(
                 hidden, pos[:, None, None].repeat(d, axis=2), axis=1)[:, 0]
-            logits = mlm_logits(p, h)
+            # transformed MLM head input: score vs token table is a plain dot
+            h = act(dense(h, p["mlm_dense"]))
+            return layer_norm(h, p["mlm_ln_s"], p["mlm_ln_b"])
+
+        @jax.jit
+        def predict_fn(p, users):
+            logits = user_vec_fn(p, users) @ p["tok_emb"].T + p["out_bias"]
             return logits[:, :num_items]  # scores over real items only
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("width",))
+        def score_chunk_fn(p, uv, lo, *, width):
+            # item id == token id for real items; chunks stay < num_items so
+            # the mask/pad special tokens are never scored
+            tbl = jax.lax.dynamic_slice_in_dim(p["tok_emb"], lo, width)
+            bias = jax.lax.dynamic_slice_in_dim(p["out_bias"], lo, width)
+            return uv @ tbl.T + bias[None, :]
+
         self._predict_fn = predict_fn
+        self._user_vec_fn = user_vec_fn
+        self._score_chunk_fn = score_chunk_fn
         self._eval_countdown = 0
 
     def _train_epoch(self, epoch: int) -> float:
@@ -276,7 +295,9 @@ class BERT4Rec(JaxRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
-        users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        full = self._predict_fn(self.params, users)
-        return full[:, item_lo:item_hi]
+    def _user_vectors(self, users):
+        return self._user_vec_fn(self.params, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return self._score_chunk_fn(self.params, uv, item_lo,
+                                    width=item_hi - item_lo)

@@ -21,7 +21,8 @@ import optax
 from ..ops import get_initializer, sigmoid_cross_entropy
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, adam_l2, make_train_step
+from .common import (CachedUserVecChunkMixin, EpochTrainedRecommender,
+                     adam_l2, make_train_step)
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["Caser", "CaserConfig"]
@@ -52,7 +53,7 @@ class CaserConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class Caser(EpochTrainedRecommender):
+class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = CaserConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -152,14 +153,31 @@ class Caser(EpochTrainedRecommender):
         self._seq_table = jnp.asarray(seq_table)
 
         @jax.jit
-        def predict_fn(p, users):
+        def user_vec_fn(p, users):
             seqs = self._seq_table[users]
-            x = forward_user(p, users, seqs, None)
+            return forward_user(p, users, seqs, None)
+
+        @jax.jit
+        def predict_fn(p, users):
+            x = user_vec_fn(p, users)
             W2 = pad_masked(p["W2"])
             b2 = p["b2"].at[pad_idx].set(0.0)
             return x @ W2.T + b2[None, :]
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("width",))
+        def score_chunk_fn(p, uv, lo, *, width):
+            w2 = jax.lax.dynamic_slice_in_dim(p["W2"], lo, width)
+            b2 = jax.lax.dynamic_slice_in_dim(p["b2"], lo, width)
+            # replicate predict's pad_masked: zero the pad row if the chunk
+            # covers it (full predict exposes the pad column with score 0)
+            live = (lo + jnp.arange(width)) != pad_idx
+            return (uv @ w2.T + b2[None, :]) * live[None, :]
+
         self._predict_fn = predict_fn
+        self._user_vec_fn = user_vec_fn
+        self._score_chunk_fn = score_chunk_fn
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
@@ -168,7 +186,9 @@ class Caser(EpochTrainedRecommender):
             key, carry, self._step_with_key)
         return float(loss)
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
-        users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        full = self._predict_fn(self.params, users)
-        return full[:, item_lo:item_hi]
+    def _user_vectors(self, users):
+        return self._user_vec_fn(self.params, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return self._score_chunk_fn(self.params, uv, item_lo,
+                                    width=item_hi - item_lo)

@@ -20,7 +20,8 @@ import optax
 from ..ops import bpr_loss, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, adam_l2
+from .common import (CachedUserVecChunkMixin, EpochTrainedRecommender,
+                     adam_l2)
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["HGN", "HGNConfig"]
@@ -45,7 +46,7 @@ class HGNConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class HGN(EpochTrainedRecommender):
+class HGN(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = HGNConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -124,19 +125,38 @@ class HGN(EpochTrainedRecommender):
         self._seq_table = jnp.asarray(seq_table)
 
         @jax.jit
-        def predict_fn(p, users):
+        def user_vec_fn(p, users):
+            # all three predict terms are dots against W2 rows, so they fold
+            # into ONE user vector: user_emb + union + sum_l item_embs
             seqs = self._seq_table[users]
             user_emb, item_embs, union = forward_user(p, users, seqs)
+            return user_emb + union + jnp.sum(item_embs, axis=1)
+
+        @jax.jit
+        def predict_fn(p, users):
+            uv = user_vec_fn(p, users)
             W2 = pad_masked(p["W2"])
             b2 = p["b2"].at[pad_idx].set(0.0)
-            res = user_emb @ W2.T + b2[None, :]
-            res += union @ W2.T
-            res += jnp.einsum("bld,nd->bn", item_embs, W2)
-            return res
+            return uv @ W2.T + b2[None, :]
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("width",))
+        def score_chunk_fn(p, uv, lo, *, width):
+            w2 = jax.lax.dynamic_slice_in_dim(p["W2"], lo, width)
+            b2 = jax.lax.dynamic_slice_in_dim(p["b2"], lo, width)
+            # replicate predict's pad_masked: zero the pad row if the chunk
+            # covers it (full predict exposes the pad column with score 0)
+            live = (lo + jnp.arange(width)) != pad_idx
+            return (uv @ w2.T + b2[None, :]) * live[None, :]
 
         self._predict_fn = predict_fn
+        self._user_vec_fn = user_vec_fn
+        self._score_chunk_fn = score_chunk_fn
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
-        users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        full = self._predict_fn(self.params, users)
-        return full[:, item_lo:item_hi]
+    def _user_vectors(self, users):
+        return self._user_vec_fn(self.params, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return self._score_chunk_fn(self.params, uv, item_lo,
+                                    width=item_hi - item_lo)

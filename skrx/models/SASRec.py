@@ -30,6 +30,7 @@ from ..ops.sampling import sample_negatives
 from ..run_config import RunConfig
 from ..utils import ModelConfig, pad_sequences
 from .base import JaxRecommender
+from .common import CachedUserVecChunkMixin
 from .pipeline import pad_to_batches
 
 __all__ = ["SASRec", "SASRecConfig"]
@@ -69,7 +70,7 @@ def _xavier(key, shape):
     return jax.nn.initializers.glorot_uniform()(key, shape)
 
 
-class SASRec(JaxRecommender):
+class SASRec(CachedUserVecChunkMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = SASRecConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -221,12 +222,26 @@ class SASRec(JaxRecommender):
         self._test_seqs = jnp.asarray(test_seqs)
 
         @jax.jit
-        def predict_fn(p, users):
+        def user_vec_fn(p, users):
             hidden = encode(p, self._test_seqs[users], None)
-            last = hidden[:, -1, :]
-            return last @ item_table(p)[:-1].T  # pad column removed
+            return hidden[:, -1, :]
+
+        @jax.jit
+        def predict_fn(p, users):
+            return user_vec_fn(p, users) @ item_table(p)[:-1].T  # pad col removed
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("width",))
+        def score_chunk_fn(p, uv, lo, *, width):
+            # slice BEFORE scaling: only touches `width` rows of the table;
+            # chunks cover [0, num_items) so the pad row is never reached
+            tbl = jax.lax.dynamic_slice_in_dim(p["item_emb"], lo, width)
+            return uv @ (tbl * (d ** 0.5)).T
 
         self._predict_fn = predict_fn
+        self._user_vec_fn = user_vec_fn
+        self._score_chunk_fn = score_chunk_fn
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
@@ -239,8 +254,9 @@ class SASRec(JaxRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
-        users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        full = self._predict_fn(self.params, users)
-        return full[:, item_lo:item_hi]  # encode dominates; slicing the final
-        # matmul would need a chunked predict_fn — see NEXT.md
+    def _user_vectors(self, users):
+        return self._user_vec_fn(self.params, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return self._score_chunk_fn(self.params, uv, item_lo,
+                                    width=item_hi - item_lo)

@@ -27,7 +27,7 @@ import optax
 
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import CachedUserVecChunkMixin, EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["SGAT", "SGATConfig"]
@@ -76,7 +76,7 @@ def _build_sgat_graph(user_pos_train, num_items):
             np.asarray(edge_tail, np.int32), np.asarray(edge_head, np.int32))
 
 
-class SGAT(EpochTrainedRecommender):
+class SGAT(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = SGATConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -181,14 +181,28 @@ class SGAT(EpochTrainedRecommender):
             truncating="pre"))
 
         @jax.jit
-        def predict_fn(p, items_prop, users):
+        def user_vec_fn(p, items_prop, users):
             user_e = p["user_emb"][users]
             head_e = head_embedding(p, items_prop, self._test_seqs[users])
-            pre = (head_e + user_e)[:, None, :]
+            return head_e + user_e                          # (B, D)
+
+        @jax.jit
+        def predict_fn(p, items_prop, users):
+            pre = user_vec_fn(p, items_prop, users)[:, None, :]
             dists = l2d(pre, items_prop[None, :, :])
             return -dists + p["item_bias"][None, :]
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("width",))
+        def score_chunk_fn(p, items_prop, uv, lo, *, width):
+            items = jax.lax.dynamic_slice_in_dim(items_prop, lo, width)
+            bias = jax.lax.dynamic_slice_in_dim(p["item_bias"], lo, width)
+            return -l2d(uv[:, None, :], items[None, :, :]) + bias[None, :]
+
         self._predict_fn = predict_fn
+        self._user_vec_fn = user_vec_fn
+        self._score_chunk_fn = score_chunk_fn
         self._final_items = None
 
     def evaluate(self, test_users=None):
@@ -201,9 +215,14 @@ class SGAT(EpochTrainedRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, self._final_items, users)
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
+    def _uv_state_refs(self) -> tuple:
         if self._final_items is None:
             self._final_items = self._propagate_items(self.params)
-        users_j = jnp.asarray(np.asarray(users, dtype=np.int32))
-        full = self._predict_fn(self.params, self._final_items, users_j)
-        return full[:, item_lo:item_hi]  # head embedding dominates; slice ok
+        return (self.params, self._final_items)
+
+    def _user_vectors(self, users):
+        return self._user_vec_fn(self.params, self._final_items, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return self._score_chunk_fn(self.params, self._final_items, uv,
+                                    item_lo, width=item_hi - item_lo)

@@ -13,7 +13,8 @@ import optax
 
 from .base import JaxRecommender
 
-__all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2"]
+__all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2",
+           "ChunkedDotPredictMixin", "CachedUserVecChunkMixin"]
 
 
 def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
@@ -91,6 +92,44 @@ class ChunkedDotPredictMixin:
         if bias is not None:
             scores = scores + bias[None, item_lo:item_hi]
         return scores
+
+
+class CachedUserVecChunkMixin:
+    """``predict_chunk`` for towers whose predict factors into an expensive
+    per-user encoder followed by a cheap per-item score (SASRec/BERT4Rec/
+    Caser/HGN/SGAT): the user representation is computed ONCE per (params,
+    user batch) and catalog chunks are scored from it, so chunked evaluation
+    neither re-runs the encoder per chunk nor materializes (B, N).
+
+    Subclasses implement ``_user_vectors(users) -> pytree`` (jitted encoder)
+    and ``_score_user_chunk(uv, item_lo, item_hi) -> (B, hi-lo)``; models with
+    derived predict state beyond ``self.params`` (e.g. SGAT's propagated item
+    table) extend ``_uv_state_refs`` so the cache invalidates with it.
+    """
+
+    def _user_vectors(self, users):
+        raise NotImplementedError
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        raise NotImplementedError
+
+    def _uv_state_refs(self) -> tuple:
+        # strong refs compared by identity: holding them prevents id reuse
+        return (self.params,)
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int):
+        import jax.numpy as jnp
+
+        users = np.asarray(users, dtype=np.int32)
+        refs = self._uv_state_refs()
+        cached = getattr(self, "_uv_cache", None)
+        if (cached is None or len(cached[0]) != len(refs)
+                or any(a is not b for a, b in zip(cached[0], refs))
+                or cached[1] != users.tobytes()):
+            uv = self._user_vectors(jnp.asarray(users))
+            cached = (refs, users.tobytes(), uv)
+            self._uv_cache = cached
+        return self._score_user_chunk(cached[2], item_lo, item_hi)
 
 
 class EpochTrainedRecommender(JaxRecommender):

@@ -151,6 +151,12 @@ def test_chunked_evaluation_matches_full():
     ("HGN", dict(lr=0.01, seq_L=4, seq_T=2, embed_size=8, batch_size=128)),
     ("SASRec", dict(lr=0.01, hidden_units=8, max_len=8, num_blocks=1,
                     num_heads=1, batch_size=32)),
+    ("Caser", dict(lr=0.01, embed_size=8, seq_L=4, seq_T=2, nv=2, nh=4,
+                   batch_size=128)),
+    ("BERT4Rec", dict(lr=0.01, h_size=8, max_seq_len=8, n_layers=1,
+                      att_heads=1, batch_size=32)),
+    ("SGAT", dict(lr=0.01, embed_size=8, n_layers=2, n_seqs=3, n_next=1,
+                  batch_size=128)),
 ])
 def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
     """evaluate_chunked == evaluate across model families."""
@@ -175,3 +181,38 @@ def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
     for k in r_full.metrics():
         np.testing.assert_allclose(r_chunk[k], r_full[k], rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_user_vec_chunk_cache_encodes_once(tmp_path, monkeypatch):
+    """CachedUserVecChunkMixin: the (expensive) user encoder runs once per
+    (params, user batch), not once per item chunk; cache invalidates on new
+    users and on new params."""
+    monkeypatch.chdir(tmp_path)
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.SASRec import SASRec
+
+    data = synthetic.make_dataset_dir(str(tmp_path), num_users=30,
+                                      num_items=50, num_ratings=600, seed=5)
+    run = RunConfig(recommender="SASRec", data_dir=data, file_column="UIRT",
+                    sep="\t", top_k=(10,), test_batch_size=8, seed=1)
+    m = SASRec(run, dict(lr=0.01, hidden_units=8, max_len=8, num_blocks=1,
+                         num_heads=1, batch_size=32, epochs=1, early_stop=1))
+    calls = []
+    orig = m._user_vectors
+    m._user_vectors = lambda u: (calls.append(1), orig(u))[1]
+
+    users = [0, 1, 2, 3]
+    full = np.asarray(m.predict(users))
+    chunks = [np.asarray(m.predict_chunk(users, lo, min(lo + 13, 50)))
+              for lo in range(0, 50, 13)]
+    assert len(calls) == 1  # one encode for all 4 chunks
+    np.testing.assert_allclose(np.concatenate(chunks, axis=1), full,
+                               rtol=1e-5, atol=1e-6)
+
+    m.predict_chunk([4, 5, 6, 7], 0, 13)
+    assert len(calls) == 2  # new user batch -> re-encode
+
+    m.params = dict(m.params)  # params object replaced (as after an epoch)
+    m.predict_chunk([4, 5, 6, 7], 0, 13)
+    assert len(calls) == 3  # new params -> re-encode
