@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["METRIC2ID", "ID2METRIC", "ranking_metrics_from_hits",
-           "topk_from_scores", "mask_items", "eval_score_matrix_device",
-           "hits_against_padded_truth"]
+           "topk_from_scores", "mask_items", "masked_topk_indices",
+           "eval_score_matrix_device", "hits_against_padded_truth"]
 
 METRIC2ID = {"Precision": 1, "Recall": 2, "MAP": 3, "NDCG": 4, "MRR": 5}
 ID2METRIC = {v: k for k, v in METRIC2ID.items()}
@@ -65,6 +65,21 @@ def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
         _, idx = blockwise_topk(scores, k)
         return idx
     _, idx = lax.top_k(scores, k)
+    return idx
+
+
+def masked_topk_indices(scores: jnp.ndarray, mask_table: jnp.ndarray,
+                        k: int) -> jnp.ndarray:
+    """Top-k indices with ``mask_table`` items excluded. Huge catalogs fuse
+    the -inf masking into the Pallas streaming kernel (7x over the XLA
+    scatter + lax.top_k path at (64, 1M) — see topk_blocks.py); small ones
+    use the plain masked lax.top_k."""
+    if (scores.shape[1] >= _BLOCKWISE_TOPK_MIN_N
+            and jax.default_backend() == "tpu"):
+        from .pallas import blockwise_topk
+        _, idx = blockwise_topk(scores, k, mask_table=mask_table)
+        return idx
+    _, idx = lax.top_k(mask_items(scores, mask_table), k)
     return idx
 
 
@@ -123,7 +138,6 @@ def eval_score_matrix_device(scores: jnp.ndarray,
     Returns (B, n_metrics, top_k) float32 — same numbers the reference's
     ``eval_score_matrix`` produces as (B, n_metrics*top_k).
     """
-    masked = mask_items(scores, train_table)
-    topk_items = topk_from_scores(masked, top_k)
+    topk_items = masked_topk_indices(scores, train_table, top_k)
     hits = hits_against_padded_truth(topk_items, test_table)
     return ranking_metrics_from_hits(hits, test_len, metric_ids)

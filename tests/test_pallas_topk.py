@@ -26,3 +26,49 @@ def test_blockwise_topk_with_ties():
     ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(scores), 5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+
+
+@pytest.mark.parametrize("n,block_n,L", [(1000, 256, 40), (520, 128, 7),
+                                         (130, 128, 4)])
+def test_blockwise_topk_fused_mask(n, block_n, L):
+    """Fused train-item masking == mask_items + lax.top_k, exactly."""
+    from skrx.ops.metrics import mask_items
+
+    rng = np.random.default_rng(3)
+    scores = rng.standard_normal((8, n)).astype(np.float32)
+    # sorted per-row tables with pad entries (pad id == n)
+    table = np.full((8, L), n, dtype=np.int32)
+    for r in range(8):
+        cnt = rng.integers(1, L + 1)
+        table[r, :cnt] = np.sort(rng.permutation(n)[:cnt])
+    vals, idx = blockwise_topk(jnp.asarray(scores), 17, block_n=block_n,
+                               interpret=True, mask_table=jnp.asarray(table))
+    ref_vals, ref_idx = jax.lax.top_k(
+        mask_items(jnp.asarray(scores), jnp.asarray(table)), 17)
+    # reference yields -inf entries for masked items when fewer than k
+    # survive; the kernel pads those slots with sentinel indices instead,
+    # so compare only the finite prefix
+    ref_vals = np.asarray(ref_vals)
+    finite = np.isfinite(ref_vals)
+    np.testing.assert_allclose(np.asarray(vals)[finite], ref_vals[finite])
+    np.testing.assert_array_equal(np.asarray(idx)[finite],
+                                  np.asarray(ref_idx)[finite])
+    assert not np.isfinite(np.asarray(vals)[~finite]).any()
+
+
+def test_blockwise_topk_mask_train_dominates():
+    """Trained-model regime: train items hold the global top scores."""
+    from skrx.ops.metrics import mask_items
+
+    rng = np.random.default_rng(9)
+    n, L, k = 2000, 64, 10
+    scores = rng.standard_normal((4, n)).astype(np.float32)
+    table = np.stack([np.sort(rng.permutation(n)[:L]) for _ in range(4)])
+    for r in range(4):
+        scores[r, table[r]] += 50.0  # train items dominate every block
+    vals, idx = blockwise_topk(jnp.asarray(scores), k, block_n=256,
+                               interpret=True, mask_table=jnp.asarray(table))
+    ref_vals, ref_idx = jax.lax.top_k(
+        mask_items(jnp.asarray(scores), jnp.asarray(table)), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
