@@ -18,11 +18,11 @@ import numpy as np
 import optax
 
 from ..ops import get_initializer
-from ..ops.graph import Graph, graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .SelfCF import _norm_adj_eps
-from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
+from .common import build_prop_graph, ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["BM3", "BM3Config"]
@@ -36,6 +36,7 @@ class BM3Config(ModelConfig):
     n_layers: int = 1
     dropout: float = 0.3
     cl_weight: float = 2.0
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -52,6 +53,8 @@ class BM3Config(ModelConfig):
         assert isinstance(self.n_layers, int) and self.n_layers > 0
         assert isinstance(self.dropout, float) and 0 <= self.dropout < 1
         assert isinstance(self.cl_weight, float) and self.cl_weight >= 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -66,9 +69,9 @@ class BM3(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
         v_feat = self.dataset.img_features
         t_feat = self.dataset.txt_features
-        graph: Graph = graph_from_sp_matrix(_norm_adj_eps(
+        graph = build_prop_graph(_norm_adj_eps(
             self.dataset.train_data.to_user_item_pairs(), num_users,
-            self.num_items))
+            self.num_items), cfg.graph_impl)
 
         xavier_u = get_initializer("xavier_uniform")
         xavier_n = get_initializer("xavier_normal")

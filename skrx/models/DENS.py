@@ -24,10 +24,10 @@ import optax
 import scipy.sparse as sp
 
 from ..ops import get_initializer
-from ..ops.graph import graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
+from .common import build_prop_graph, ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["DENS", "DENSConfig"]
@@ -50,6 +50,7 @@ class DENSConfig(ModelConfig):
     edge_dropout: bool = False
     edge_dropout_rate: float = 0.1
     alpha: float = 1.0
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     epochs: int = 1000
     early_stop: int = 100
 
@@ -65,6 +66,8 @@ class DENSConfig(ModelConfig):
         assert self.ns in {"rns", "dns", "dens"}
         assert self.pool in {"mean", "sum", "concat", "final"}
         assert isinstance(self.warmup, int) and self.warmup >= 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
 
 
 class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
@@ -81,8 +84,8 @@ class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
         ones = np.ones(len(pairs), dtype=np.float32)
         upper = sp.csr_matrix((ones, (pairs[:, 0], pairs[:, 1] + num_users)),
                               shape=(n, n))
-        graph = graph_from_sp_matrix(
-            normalize_adj_matrix(upper + upper.T, "symmetric"))
+        adj = normalize_adj_matrix(upper + upper.T, "symmetric")
+        graph = build_prop_graph(adj, cfg.graph_impl)
 
         init = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 6)
@@ -105,7 +108,7 @@ class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
         gamma, l2, warmup, batch_size = cfg.gamma, cfg.l2, cfg.warmup, cfg.batch_size
         mess_do = cfg.mess_dropout_rate if cfg.mess_dropout else 0.0
         edge_do = cfg.edge_dropout_rate if cfg.edge_dropout else 0.0
-        num_edges = graph.weight.shape[0]
+        num_edges = adj.nnz
 
         def lin(gate, x):
             return x @ gate["w"] + gate["b"]

@@ -25,10 +25,10 @@ import numpy as np
 import optax
 
 from ..ops import get_initializer
-from ..ops.graph import graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import EpochTrainedRecommender
+from .common import build_prop_graph, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 import scipy.sparse as sp
@@ -47,6 +47,7 @@ class LATTICEConfig(ModelConfig):
     n_layers: int = 1
     knn_k: int = 10
     cf_model: str = "lightgcn"  # lightgcn | ngcf | mf
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -64,6 +65,8 @@ class LATTICEConfig(ModelConfig):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.reg, float) and self.reg >= 0
         assert self.cf_model in {"lightgcn", "ngcf", "mf"}
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -105,8 +108,8 @@ class LATTICE(EpochTrainedRecommender):
         upper = sp.csr_matrix((ones, (pairs[:, 0], pairs[:, 1] + num_users)),
                               shape=(n, n))
         adj = upper + upper.T + sp.eye(n)
-        self._ui_graph = graph_from_sp_matrix(
-            normalize_adj_matrix(adj, "left"))
+        self._ui_graph = build_prop_graph(
+            normalize_adj_matrix(adj, "left"), cfg.graph_impl)
 
         # original (frozen) modality adjacencies, disk-cached dense
         cache_dir = os.path.join(self.dataset.data_dir, "_data_cache")

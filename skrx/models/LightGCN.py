@@ -23,10 +23,11 @@ import optax
 import scipy.sparse as sp
 
 from ..ops import bpr_loss, get_initializer
-from ..ops.graph import Graph, graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
+from .common import (ChunkedDotPredictMixin, EpochTrainedRecommender,
+                     build_prop_graph)
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["LightGCN", "LightGCNConfig"]
@@ -38,6 +39,7 @@ class LightGCNConfig(ModelConfig):
     embed_size: int = 64
     n_layers: int = 3
     adj_type: str = "pre"   # plain | norm | gcmc | pre
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 1024
     epochs: int = 1000
     early_stop: int = 100
@@ -48,6 +50,8 @@ class LightGCNConfig(ModelConfig):
         assert isinstance(self.embed_size, int) and self.embed_size > 0
         assert isinstance(self.n_layers, int) and self.n_layers > 0
         assert self.adj_type in {"plain", "norm", "gcmc", "pre"}
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
         assert isinstance(self.epochs, int) and self.epochs >= 0
         assert isinstance(self.early_stop, int)
@@ -81,7 +85,7 @@ class LightGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self.num_items = self.dataset.num_items
 
         adj = self._load_adj_mat(cfg.adj_type)
-        self.graph: Graph = graph_from_sp_matrix(adj)
+        self.graph = build_prop_graph(adj, cfg.graph_impl)
 
         init = get_initializer("xavier_uniform")
         k_u, k_i = jax.random.split(jax.random.key(run_config.seed))

@@ -27,10 +27,10 @@ import optax
 import scipy.sparse as sp
 
 from ..ops import get_initializer
-from ..ops.graph import Graph, graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import build_prop_graph, EpochTrainedRecommender
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["SLMRec", "SLMRecConfig"]
@@ -47,6 +47,7 @@ class SLMRecConfig(ModelConfig):
     temp: float = 0.2
     mm_fusion_mode: str = "concat"   # concat | mean
     adj_type: str = "pre"
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     ssl_task: str = "FAC"            # FAC | FD | FM | FD+FM
     batch_size: int = 2048
     epochs: int = 1000
@@ -64,6 +65,8 @@ class SLMRecConfig(ModelConfig):
         assert self.mm_fusion_mode in {"concat", "mean"}
         assert self.ssl_task in {"FAC", "FD", "FM", "FD+FM"}
         assert self.adj_type in {"plain", "norm", "gcmc", "pre", "mean"}
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -116,9 +119,9 @@ class SLMRec(EpochTrainedRecommender):
         self._v_feat = jnp.asarray(l2n(v_feat.astype(np.float32)))
         self._t_feat = jnp.asarray(l2n(t_feat.astype(np.float32)))
 
-        graph: Graph = graph_from_sp_matrix(_slmrec_adj(
+        graph = build_prop_graph(_slmrec_adj(
             self.dataset.train_data.to_user_item_pairs(), num_users,
-            num_items, cfg.adj_type))
+            num_items, cfg.adj_type), cfg.graph_impl)
 
         xavier = get_initializer("xavier_uniform")
         glorot = jax.nn.initializers.glorot_uniform()

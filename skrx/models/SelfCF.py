@@ -20,10 +20,10 @@ import optax
 import scipy.sparse as sp
 
 from ..ops import get_initializer
-from ..ops.graph import Graph, graph_from_sp_matrix, propagate
+from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender, make_train_step
+from .common import build_prop_graph, EpochTrainedRecommender, make_train_step
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["SelfCF", "SelfCFConfig"]
@@ -35,6 +35,7 @@ class SelfCFConfig(ModelConfig):
     embed_dim: int = 64
     n_layers: int = 2
     dropout: float = 0.5
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -50,6 +51,8 @@ class SelfCFConfig(ModelConfig):
         assert isinstance(self.n_layers, int) and self.n_layers > 0
         assert isinstance(self.dropout, float) and 0 <= self.dropout < 1
         assert isinstance(self.batch_size, int) and self.batch_size > 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
 
 
 def _norm_adj_eps(pairs: np.ndarray, num_users: int, num_items: int) -> sp.csr_matrix:
@@ -75,7 +78,7 @@ class SelfCF(EpochTrainedRecommender):
 
         adj = _norm_adj_eps(self.dataset.train_data.to_user_item_pairs(),
                             self.num_users, self.num_items)
-        graph: Graph = graph_from_sp_matrix(adj)
+        graph = build_prop_graph(adj, cfg.graph_impl)
 
         init = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 4)
@@ -91,7 +94,7 @@ class SelfCF(EpochTrainedRecommender):
                                                  cfg.batch_size)
         n_layers, dropout, reg = cfg.n_layers, cfg.dropout, cfg.reg
         num_users = self.num_users
-        num_edges = graph.weight.shape[0]
+        num_edges = adj.nnz
 
         def encode(p, edge_mask=None):
             ego = jnp.concatenate([p["user_emb"], p["item_emb"]], axis=0)

@@ -14,7 +14,27 @@ import optax
 from .base import JaxRecommender
 
 __all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2",
-           "ChunkedDotPredictMixin", "CachedUserVecChunkMixin"]
+           "ChunkedDotPredictMixin", "CachedUserVecChunkMixin",
+           "build_prop_graph", "GRAPH_IMPLS"]
+
+GRAPH_IMPLS = ("auto", "segment", "mxu")
+
+
+def build_prop_graph(adj, graph_impl: str = "auto"):
+    """Lower a scipy adjacency for ``skrx.ops.graph.propagate``.
+
+    'mxu' uses the Pallas MXU scatter kernel (3.5-4x per propagate at
+    Gowalla scale — skrx/ops/pallas/segsum_mxu.py); 'segment' the XLA sorted
+    segment-sum. 'auto' picks 'mxu' on TPU and 'segment' elsewhere (the
+    interpret-mode Pallas fallback is slow on CPU).
+    """
+    if graph_impl == "auto":
+        graph_impl = "mxu" if jax.default_backend() == "tpu" else "segment"
+    if graph_impl == "mxu":
+        from ..ops.pallas.segsum_mxu import mxu_graph_from_sp_matrix
+        return mxu_graph_from_sp_matrix(adj)
+    from ..ops.graph import graph_from_sp_matrix
+    return graph_from_sp_matrix(adj)
 
 
 def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:

@@ -52,16 +52,25 @@ def _propagate(src, dst, weight, x, num_nodes, dst_sorted):
                                indices_are_sorted=dst_sorted)
 
 
-def propagate(graph: Graph, x: jnp.ndarray,
+def propagate(graph, x: jnp.ndarray,
               edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """One step of A @ x. ``edge_mask`` (float (E,)) scales edge weights —
-    used for message dropout without changing shapes."""
+    used for message dropout without changing shapes.
+
+    Accepts either a :class:`Graph` (XLA gather + sorted segment-sum) or a
+    :class:`~skrx.ops.pallas.segsum_mxu.MXUGraph` (Pallas MXU scatter kernel,
+    3.5-4x faster per propagate at Gowalla scale — see segsum_mxu.py)."""
+    if not isinstance(graph, Graph):
+        from .pallas.segsum_mxu import MXUGraph, propagate_mxu
+        if isinstance(graph, MXUGraph):
+            return propagate_mxu(graph, x, edge_mask)
+        raise TypeError(f"unsupported graph type {type(graph)!r}")
     weight = graph.weight if edge_mask is None else graph.weight * edge_mask
     return _propagate(graph.src, graph.dst, weight, x, graph.num_nodes,
                       getattr(graph, "dst_sorted", False))
 
 
-def propagate_layers(graph: Graph, x: jnp.ndarray, num_layers: int,
+def propagate_layers(graph, x: jnp.ndarray, num_layers: int,
                      combine: str = "mean",
                      edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """K propagation layers with layer combination.
