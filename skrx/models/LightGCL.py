@@ -10,6 +10,13 @@ G_u[l] = (U S)(V^T E_i[l-1]); layer sums (including layer 0); InfoNCE-style
 CL between the SVD view and the GCN view with +-5 clamped positive logits;
 mean BPR; lambda2 * sum of squared param norms; Adam. ``torch.svd_lowrank``
 becomes scipy.sparse.linalg.svds host-side (one-time).
+
+graph_impl="mxu" (default on TPU) runs R / R^T propagation through the
+Pallas MXU scatter kernel (skrx/ops/pallas/segsum_mxu.py, rectangular
+form). Forward outputs match the segment path to ~1e-6; end-of-training
+metrics can drift ~1e-2 relative through the InfoNCE losses (float
+reassociation amplified over epochs), same class of deviation as the
+chunked-eval sliced matmuls.
 """
 from typing import Dict
 
@@ -39,6 +46,7 @@ class LightGCLConfig(ModelConfig):
     dropout: float = 0.0
     temp: float = 0.2
     lambda2: float = 1e-7    # L2 reg weight
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     epochs: int = 500
     early_stop: int = 100
 
@@ -52,6 +60,8 @@ class LightGCLConfig(ModelConfig):
         assert isinstance(self.dropout, float) and self.dropout >= 0
         assert isinstance(self.temp, float) and self.temp > 0
         assert isinstance(self.lambda2, float) and self.lambda2 >= 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
 
 
 class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
@@ -96,27 +106,49 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
         u_mul_s, v_mul_s, ut, vt = (self._u_mul_s, self._v_mul_s, self._ut,
                                     self._vt)
 
-        def prop_u(x_i, w):  # R @ x_i
-            return jax.ops.segment_sum(x_i[e_col] * w[:, None], e_row,
-                                       num_segments=num_users)
+        impl = cfg.graph_impl
+        if impl == "auto":
+            impl = "mxu" if jax.default_backend() == "tpu" else "segment"
+        if impl == "mxu":
+            # rectangular R lowered for the MXU scatter kernel; R^T shares
+            # buffers (and edge ids, so one dropout mask drives both)
+            from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
+                                                 propagate_mxu,
+                                                 transpose_mxu_graph)
+            g_r = mxu_graph_from_coo(coo.col, coo.row,
+                                     norm_data.astype(np.float32),
+                                     num_users, num_src_nodes=num_items)
+            g_rt = transpose_mxu_graph(g_r)
 
-        def prop_i(x_u, w):  # R^T @ x_u
-            return jax.ops.segment_sum(x_u[e_row] * w[:, None], e_col,
-                                       num_segments=num_items)
+            def prop_u(x_i, mask):  # R @ x_i
+                return propagate_mxu(g_r, x_i, mask)
+
+            def prop_i(x_u, mask):  # R^T @ x_u
+                return propagate_mxu(g_rt, x_u, mask)
+        else:
+            def prop_u(x_i, mask):  # R @ x_i
+                w = e_w if mask is None else e_w * mask
+                return jax.ops.segment_sum(x_i[e_col] * w[:, None], e_row,
+                                           num_segments=num_users)
+
+            def prop_i(x_u, mask):  # R^T @ x_u
+                w = e_w if mask is None else e_w * mask
+                return jax.ops.segment_sum(x_u[e_row] * w[:, None], e_col,
+                                           num_segments=num_items)
 
         def forward(p, key=None):
             e_u, e_i = p["E_u_0"], p["E_i_0"]
             sum_eu, sum_ei = e_u, e_i
             sum_gu, sum_gi = e_u, e_i
             for _ in range(n_layers):
-                w = e_w
+                mask = None
                 if key is not None and dropout > 0:
                     key, sub = jax.random.split(key)
                     keep = jax.random.bernoulli(sub, 1 - dropout, e_w.shape)
-                    w = jnp.where(keep, e_w / (1 - dropout), 0.0)
+                    mask = keep.astype(jnp.float32) / (1 - dropout)
                 g_u = u_mul_s @ (vt @ e_i)
                 g_i = v_mul_s @ (ut @ e_u)
-                e_u, e_i = prop_u(e_i, w), prop_i(e_u, w)
+                e_u, e_i = prop_u(e_i, mask), prop_i(e_u, mask)
                 sum_eu, sum_ei = sum_eu + e_u, sum_ei + e_i
                 sum_gu, sum_gi = sum_gu + g_u, sum_gi + g_i
             return sum_eu, sum_ei, sum_gu, sum_gi

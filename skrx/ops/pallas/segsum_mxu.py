@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ChunkMeta", "MXUGraph", "chunk_sorted_coo", "mxu_graph_from_coo",
-           "mxu_graph_from_sp_matrix", "propagate_mxu"]
+           "mxu_graph_from_sp_matrix", "propagate_mxu", "transpose_mxu_graph"]
 
 
 class ChunkMeta(NamedTuple):
@@ -111,14 +111,19 @@ def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 
 def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                        num_nodes: int, block_k: int = 512, window: int = 128,
-                       msg_dtype=jnp.float32) -> MXUGraph:
+                       msg_dtype=jnp.float32,
+                       num_src_nodes: Optional[int] = None) -> MXUGraph:
     """Build fwd (A) + bwd (A^T) chunk metadata from COO edges.
 
     Edge order defines the original edge ids used by ``edge_mask``.
+    Rectangular operators (e.g. the user x item interaction matrix R) pass
+    ``num_src_nodes`` != ``num_nodes``: the forward maps (num_src_nodes, D)
+    inputs to (num_nodes, D) outputs and the backward the reverse.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
+    num_src = num_nodes if num_src_nodes is None else num_src_nodes
     ids = np.arange(len(src))
     f_order = np.argsort(dst, kind="stable")
     fwd = chunk_sorted_coo(src[f_order], dst[f_order], weight[f_order],
@@ -126,8 +131,16 @@ def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     # transpose graph: swap endpoints, sort by (new) destination = old src
     b_order = np.argsort(src, kind="stable")
     bwd = chunk_sorted_coo(dst[b_order], src[b_order], weight[b_order],
-                           ids[b_order], num_nodes, block_k, window)
+                           ids[b_order], num_src, block_k, window)
     return MXUGraph(fwd, bwd, int(num_nodes), jnp.dtype(msg_dtype))
+
+
+def transpose_mxu_graph(graph: MXUGraph) -> MXUGraph:
+    """The operator A^T as an MXUGraph (swaps fwd/bwd chunk metadata) —
+    shares all device buffers with the input; edge ids are unchanged, so one
+    edge_mask drives both orientations."""
+    return MXUGraph(graph.bwd, graph.fwd, graph.bwd.num_nodes,
+                    graph.msg_dtype)
 
 
 def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: int = 512,

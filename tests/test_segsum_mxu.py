@@ -138,3 +138,53 @@ def test_lightgcn_mxu_impl_matches_segment(tmp_path, monkeypatch):
     assert np.isfinite(res_mxu["NDCG@10"])
     np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
                                rtol=2e-3)
+
+
+def test_rectangular_operator_and_transpose():
+    """R (m x n) forward, transpose view, and gradients."""
+    from skrx.ops.pallas.segsum_mxu import transpose_mxu_graph
+
+    rng = np.random.default_rng(6)
+    m, n, d, e = 90, 140, 8, 600
+    rows = rng.integers(0, m, e)
+    cols = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    R = sp.coo_matrix((w, (rows, cols)), shape=(m, n)).tocsr()
+    g = mxu_graph_from_coo(cols, rows, w, m, block_k=64, window=16,
+                           num_src_nodes=n)
+    x_i = rng.standard_normal((n, d)).astype(np.float32)
+    out = np.asarray(propagate_mxu(g, jnp.asarray(x_i)))
+    np.testing.assert_allclose(out, R @ x_i, rtol=1e-4, atol=1e-5)
+
+    gt = transpose_mxu_graph(g)
+    x_u = rng.standard_normal((m, d)).astype(np.float32)
+    out_t = np.asarray(propagate_mxu(gt, jnp.asarray(x_u)))
+    np.testing.assert_allclose(out_t, R.T @ x_u, rtol=1e-4, atol=1e-5)
+
+    ct = rng.standard_normal((m, d)).astype(np.float32)
+    grad = jax.grad(lambda xx: jnp.sum(propagate_mxu(g, xx)
+                                       * jnp.asarray(ct)))(jnp.asarray(x_i))
+    np.testing.assert_allclose(np.asarray(grad), R.T @ ct, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_lightgcl_mxu_impl_matches_segment(tmp_path, monkeypatch):
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.LightGCL import LightGCL
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=9, latent_dim=4,
+                                          latent_strength=6.0)
+    rc = RunConfig(recommender="LightGCL", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, d=16, gnn_layer=2, svd_q=4, batch_size=256,
+                  epochs=2, early_stop=2, dropout=0.2)
+    res_seg = LightGCL(rc, dict(params, graph_impl="segment")).fit()
+    res_mxu = LightGCL(rc, dict(params, graph_impl="mxu")).fit()
+    assert np.isfinite(res_mxu["NDCG@10"])
+    np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=2e-3)
