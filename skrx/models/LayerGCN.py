@@ -35,6 +35,7 @@ class LayerGCNConfig(ModelConfig):
     embed_dim: int = 64
     n_layers: int = 4
     dropout: float = 0.0
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -51,6 +52,8 @@ class LayerGCNConfig(ModelConfig):
         assert isinstance(self.embed_dim, int) and self.embed_dim > 0
         assert isinstance(self.n_layers, int) and self.n_layers > 0
         assert isinstance(self.dropout, float) and 0 <= self.dropout < 1
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -102,9 +105,70 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        self._full_edges = full_edges
-        self._pruned_by_degree = pruned_edges_by_degree
-        self._pruned_random = pruned_edges_random
+        impl = cfg.graph_impl
+        if impl == "auto":
+            impl = "mxu" if jax.default_backend() == "tpu" else "segment"
+        self._graph_impl = impl
+        if impl == "mxu":
+            # Static symmetric node-graph structure; per-epoch pruning becomes
+            # an edge MASK: kept-edge indicator with on-device degree
+            # renormalization, divided by the baked base weights so
+            # base * mask == the pruned-subgraph normalization.
+            from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
+                                                 propagate_mxu)
+            rows_np = pairs[:, 0].astype(np.int64)
+            cols_np = pairs[:, 1].astype(np.int64)
+            rd = np.bincount(rows_np, minlength=num_users) + 1e-7
+            cd = np.bincount(cols_np, minlength=num_items) + 1e-7
+            base_np = ((rd[rows_np] ** -0.5) * (cd[cols_np] ** -0.5)
+                       ).astype(np.float32)
+            src_np = np.concatenate([cols_np + num_users, rows_np])
+            dst_np = np.concatenate([rows_np, cols_np + num_users])
+            g_static = mxu_graph_from_coo(src_np, dst_np,
+                                          np.concatenate([base_np, base_np]),
+                                          num_users + num_items)
+            base_dev = jnp.asarray(base_np)
+
+            def _mask_from_keep(keep_idx):
+                ind = jnp.zeros(self._n_edges, jnp.float32).at[keep_idx].set(1.0)
+                row_sum = jax.ops.segment_sum(ind, ui_rows,
+                                              num_segments=num_users) + 1e-7
+                col_sum = jax.ops.segment_sum(ind, ui_cols,
+                                              num_segments=num_items) + 1e-7
+                val = ind * (row_sum[ui_rows] ** -0.5) * (col_sum[ui_cols] ** -0.5)
+                half = val / base_dev
+                return jnp.concatenate([half, half])
+
+            @jax.jit
+            def full_state():
+                return jnp.ones(2 * self._n_edges, jnp.float32)
+
+            @jax.jit
+            def pruned_state_by_degree(key):
+                keep = gumbel_topk_without_replacement(key, jnp.log(base_values),
+                                                       keep_len)
+                return _mask_from_keep(keep)
+
+            @jax.jit
+            def pruned_state_random(key):
+                keep = jax.random.permutation(key, self._n_edges)[:keep_len]
+                return _mask_from_keep(keep)
+
+            self._full_edges = full_state
+            self._pruned_by_degree = pruned_state_by_degree
+            self._pruned_random = pruned_state_random
+
+            def prop_step(h, state):
+                return propagate_mxu(g_static, h, state)
+        else:
+            self._full_edges = full_edges
+            self._pruned_by_degree = pruned_edges_by_degree
+            self._pruned_random = pruned_edges_random
+
+            def prop_step(h, state):
+                src, dst, w = state
+                return jax.ops.segment_sum(h[src] * w[:, None], dst,
+                                           num_segments=num_users + num_items)
         self._pruning_random = False  # first pruning epoch uses degree sampling
 
         init = get_initializer("xavier_uniform")
@@ -115,16 +179,13 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
                                               cfg.batch_size, num_neg=1)
         n_layers, reg = cfg.n_layers, cfg.reg
-        n_nodes = num_users + num_items
 
-        def forward(p, edges):
-            src, dst, w = edges
+        def forward(p, prop_state):
             ego = jnp.concatenate([p["user_emb"], p["item_emb"]], axis=0)
             h = ego
             total = jnp.zeros_like(ego)
             for _ in range(n_layers):
-                h = jax.ops.segment_sum(h[src] * w[:, None], dst,
-                                        num_segments=n_nodes)
+                h = prop_step(h, prop_state)
                 cos_w = jnp.sum(h * ego, -1) / (
                     jnp.linalg.norm(h, axis=-1) * jnp.linalg.norm(ego, axis=-1)
                     + 1e-12)
@@ -135,12 +196,12 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self._forward = forward
 
         def train_step(carry, batch):
-            params, opt_state, edges = carry
+            params, opt_state, prop_state = carry
             users, pos, neg, w_b = batch
             neg = neg[:, 0]
 
             def loss_fn(p):
-                u_all, i_all = forward(p, edges)
+                u_all, i_all = forward(p, prop_state)
                 y_pos = jnp.sum(u_all[users] * i_all[pos], -1)
                 y_neg = jnp.sum(u_all[users] * i_all[neg], -1)
                 loss = jnp.sum(-jax.nn.log_sigmoid(y_pos - y_neg) * w_b)
@@ -152,7 +213,7 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, edges), loss
+            return (params, opt_state, prop_state), loss
 
         self._train_step = train_step
         self._finalize_setup(run_config.seed)

@@ -191,6 +191,11 @@ def _run_direction(meta: ChunkMeta, x: jnp.ndarray, msg_dtype,
     if edge_mask is not None:
         w = w * edge_mask[meta.eidx_pad]
     msgs = x.astype(msg_dtype)[meta.src_pad] * w.astype(msg_dtype)[:, None]
+    # Zero-weight (masked/padding) edges must contribute EXACT zeros even if
+    # the gathered row is inf/NaN (e.g. the cotangent of an isolated node's
+    # norm) — edge removal semantics, matching the segment path's pruned
+    # edge lists. 0 * NaN would otherwise leak NaN into every output row.
+    msgs = jnp.where((w != 0.0)[:, None], msgs, jnp.zeros_like(msgs))
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

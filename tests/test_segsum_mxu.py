@@ -188,3 +188,40 @@ def test_lightgcl_mxu_impl_matches_segment(tmp_path, monkeypatch):
     assert np.isfinite(res_mxu["NDCG@10"])
     np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
                                rtol=2e-3)
+
+
+def test_layergcn_mxu_impl_matches_segment(tmp_path, monkeypatch):
+    """LayerGCN's per-epoch pruning reformulated as an edge mask on the
+    static MXU graph reproduces the dynamic-edge segment path."""
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.LayerGCN import LayerGCN
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=8, latent_dim=4,
+                                          latent_strength=6.0)
+    rc = RunConfig(recommender="LayerGCN", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, reg=0.001, embed_dim=16, n_layers=2, dropout=0.3,
+                  batch_size=256, epochs=3, early_stop=3)
+    res_seg = LayerGCN(rc, dict(params, graph_impl="segment")).fit()
+    res_mxu = LayerGCN(rc, dict(params, graph_impl="mxu")).fit()
+    assert np.isfinite(res_mxu["NDCG@10"])
+    np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=2e-3)
+
+
+def test_masked_edges_block_nonfinite_rows():
+    """Zero-weight (masked) edges must contribute exact zeros even when the
+    gathered source row is NaN/inf — edge-removal semantics (the segment
+    path never reads removed rows; 0 * NaN would otherwise leak)."""
+    mat = sp.csr_matrix(np.array([[0.0, 1.0], [1.0, 0.0]], np.float32))
+    g = mxu_graph_from_sp_matrix(mat, block_k=8, window=8)
+    x = jnp.asarray(np.array([[np.nan, np.inf], [1.0, 2.0]], np.float32))
+    mask = jnp.asarray(np.array([1.0, 0.0], np.float32))  # drop edge from row0
+    out = np.asarray(propagate_mxu(g, x, mask))
+    # CSR edge order: (0 <- 1) then (1 <- 0); mask keeps only the first
+    np.testing.assert_allclose(out, [[1.0, 2.0], [0.0, 0.0]])
