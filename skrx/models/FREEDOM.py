@@ -42,6 +42,7 @@ class FREEDOMConfig(ModelConfig):
     knn_k: int = 10
     mm_image_weight: float = 0.1
     dropout: float = 0.8
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -58,6 +59,8 @@ class FREEDOMConfig(ModelConfig):
         assert isinstance(self.n_ui_layers, int) and self.n_ui_layers > 0
         assert isinstance(self.knn_k, int) and self.knn_k > 0
         assert isinstance(self.dropout, float) and 0 <= self.dropout < 1
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -109,8 +112,66 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        self._full_edges = full_edges
-        self._pruned_edges = pruned_edges
+        from .common import resolve_graph_impl
+        impl = resolve_graph_impl(cfg.graph_impl, 2 * n_edges)
+        if impl == "mxu":
+            # Same mask-over-static-structure reformulation as LayerGCN:
+            # per-epoch degree pruning becomes a renormalized edge mask.
+            from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
+                                                 propagate_mxu)
+            rows_np = pairs[:, 0].astype(np.int64)
+            cols_np = pairs[:, 1].astype(np.int64)
+            rd = np.bincount(rows_np, minlength=num_users) + 1e-7
+            cd = np.bincount(cols_np, minlength=num_items) + 1e-7
+            base_np = ((rd[rows_np] ** -0.5) * (cd[cols_np] ** -0.5)
+                       ).astype(np.float32)
+            g_ui = mxu_graph_from_coo(
+                np.concatenate([cols_np + num_users, rows_np]),
+                np.concatenate([rows_np, cols_np + num_users]),
+                np.concatenate([base_np, base_np]), num_users + num_items)
+            g_mm = mxu_graph_from_coo(np.asarray(mm_c), np.asarray(mm_r),
+                                      np.asarray(mm_v), num_items)
+            base_dev = jnp.asarray(base_np)
+
+            @jax.jit
+            def full_state():
+                return jnp.ones(2 * n_edges, jnp.float32)
+
+            @jax.jit
+            def pruned_state(key):
+                keep = gumbel_topk_without_replacement(key, jnp.log(base_values),
+                                                       keep_len)
+                ind = jnp.zeros(n_edges, jnp.float32).at[keep].set(1.0)
+                row_sum = jax.ops.segment_sum(ind, ui_rows,
+                                              num_segments=num_users) + 1e-7
+                col_sum = jax.ops.segment_sum(ind, ui_cols,
+                                              num_segments=num_items) + 1e-7
+                val = ind * (row_sum[ui_rows] ** -0.5) * (col_sum[ui_cols] ** -0.5)
+                half = val / base_dev
+                return jnp.concatenate([half, half])
+
+            self._full_edges = full_state
+            self._pruned_edges = pruned_state
+
+            def ui_step(x, state):
+                return propagate_mxu(g_ui, x, state)
+
+            def mm_step(h):
+                return propagate_mxu(g_mm, h)
+        else:
+            self._full_edges = full_edges
+            self._pruned_edges = pruned_edges
+
+            def ui_step(x, state):
+                src, dst, w = state
+                return jax.ops.segment_sum(x[src] * w[:, None], dst,
+                                           num_segments=num_users + num_items)
+
+            mm_r_s, mm_c_s, mm_v_s = self._mm
+
+            def mm_step(h):
+                return jax.ops.segment_sum(h[mm_c_s] * mm_v_s[:, None],
+                                           mm_r_s, num_segments=num_items)
 
         xavier = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 5)
@@ -136,21 +197,16 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
                                               cfg.batch_size, num_neg=1)
         n_mm, n_ui, reg_w = cfg.n_mm_layers, cfg.n_ui_layers, cfg.reg
-        mm_r_j, mm_c_j, mm_v_j = self._mm
-        n_nodes = num_users + num_items
 
-        def forward(p, edges):
+        def forward(p, prop_state):
             h = p["item_emb"]
             for _ in range(n_mm):
-                h = jax.ops.segment_sum(h[mm_c_j] * mm_v_j[:, None], mm_r_j,
-                                        num_segments=num_items)
-            src, dst, w = edges
+                h = mm_step(h)
             ego = jnp.concatenate([p["user_emb"], p["item_emb"]], axis=0)
             layers = [ego]
             x = ego
             for _ in range(n_ui):
-                x = jax.ops.segment_sum(x[src] * w[:, None], dst,
-                                        num_segments=n_nodes)
+                x = ui_step(x, prop_state)
                 layers.append(x)
             combined = jnp.mean(jnp.stack(layers, axis=1), axis=1)
             return combined[:num_users], combined[num_users:] + h
@@ -164,12 +220,12 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
                 / jnp.maximum(jnp.sum(w_b), 1.0)
 
         def train_step(carry, batch):
-            params, opt_state, edges = carry
+            params, opt_state, prop_state = carry
             users, pos, neg, w_b = batch
             neg = neg[:, 0]
 
             def loss_fn(p):
-                u_all, i_all = forward(p, edges)
+                u_all, i_all = forward(p, prop_state)
                 loss = bpr_mean(u_all[users], i_all[pos], i_all[neg], w_b)
                 mm_loss = 0.0
                 if has_t:
@@ -183,7 +239,7 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, edges), loss
+            return (params, opt_state, prop_state), loss
 
         self._train_step = train_step
         self._finalize_setup(run_config.seed)

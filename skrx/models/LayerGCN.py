@@ -105,9 +105,8 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        impl = cfg.graph_impl
-        if impl == "auto":
-            impl = "mxu" if jax.default_backend() == "tpu" else "segment"
+        from .common import resolve_graph_impl
+        impl = resolve_graph_impl(cfg.graph_impl, 2 * self._n_edges)
         self._graph_impl = impl
         if impl == "mxu":
             # Static symmetric node-graph structure; per-epoch pruning becomes

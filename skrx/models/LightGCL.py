@@ -106,9 +106,8 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
         u_mul_s, v_mul_s, ut, vt = (self._u_mul_s, self._v_mul_s, self._ut,
                                     self._vt)
 
-        impl = cfg.graph_impl
-        if impl == "auto":
-            impl = "mxu" if jax.default_backend() == "tpu" else "segment"
+        from .common import resolve_graph_impl
+        impl = resolve_graph_impl(cfg.graph_impl, len(coo.data))
         if impl == "mxu":
             # rectangular R lowered for the MXU scatter kernel; R^T shares
             # buffers (and edge ids, so one dropout mask drives both)

@@ -42,6 +42,7 @@ class MGCNConfig(ModelConfig):
     lambda_coeff: float = 0.9
     knn_k: int = 10
     cl_loss: float = 0.001
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
     early_stop: int = 200
@@ -55,6 +56,8 @@ class MGCNConfig(ModelConfig):
         assert isinstance(self.reg, float) and self.reg >= 0
         assert isinstance(self.embed_dim, int) and self.embed_dim > 0
         assert isinstance(self.knn_k, int) and self.knn_k > 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -164,6 +167,50 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         img_r, img_c, img_v = self._img_adj
         txt_r, txt_c, txt_v = self._txt_adj
 
+        from .common import resolve_graph_impl
+        impl = resolve_graph_impl(cfg.graph_impl, int(np.asarray(adj_w).size))
+        if impl == "mxu":
+            # all four propagations are static: lower each for the MXU kernel
+            from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
+                                                 propagate_mxu)
+            g_adj = mxu_graph_from_coo(np.asarray(adj_src), np.asarray(adj_dst),
+                                       np.asarray(adj_w), n)
+            g_r = mxu_graph_from_coo(np.asarray(r_src), np.asarray(r_dst),
+                                     np.asarray(r_w), num_users,
+                                     num_src_nodes=num_items)
+            g_img = mxu_graph_from_coo(np.asarray(img_c), np.asarray(img_r),
+                                       np.asarray(img_v), num_items)
+            g_txt = mxu_graph_from_coo(np.asarray(txt_c), np.asarray(txt_r),
+                                       np.asarray(txt_v), num_items)
+
+            def prop_adj(x):
+                return propagate_mxu(g_adj, x)
+
+            def prop_r(x):
+                return propagate_mxu(g_r, x)
+
+            def prop_img(x):
+                return propagate_mxu(g_img, x)
+
+            def prop_txt(x):
+                return propagate_mxu(g_txt, x)
+        else:
+            def prop_adj(x):
+                return jax.ops.segment_sum(x[adj_src] * adj_w[:, None],
+                                           adj_dst, num_segments=n)
+
+            def prop_r(x):
+                return jax.ops.segment_sum(x[r_src] * r_w[:, None], r_dst,
+                                           num_segments=num_users)
+
+            def prop_img(x):
+                return jax.ops.segment_sum(x[img_c] * img_v[:, None], img_r,
+                                           num_segments=num_items)
+
+            def prop_txt(x):
+                return jax.ops.segment_sum(x[txt_c] * txt_v[:, None], txt_r,
+                                           num_segments=num_items)
+
         def apply_lin(p, x, bias=True):
             out = x @ p["w"]
             return out + p["b"] if bias else out
@@ -183,23 +230,18 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             layers = [ego]
             x = ego
             for _ in range(n_ui):
-                x = jax.ops.segment_sum(x[adj_src] * adj_w[:, None], adj_dst,
-                                        num_segments=n)
+                x = prop_adj(x)
                 layers.append(x)
             content = jnp.mean(jnp.stack(layers, axis=1), axis=1)
 
             # Item-Item views lifted to users by R
             for _ in range(n_mm):
-                img_item = jax.ops.segment_sum(img_item[img_c] * img_v[:, None],
-                                               img_r, num_segments=num_items)
-            img_user = jax.ops.segment_sum(img_item[r_src] * r_w[:, None],
-                                           r_dst, num_segments=num_users)
+                img_item = prop_img(img_item)
+            img_user = prop_r(img_item)
             image_embeds = jnp.concatenate([img_user, img_item], axis=0)
             for _ in range(n_mm):
-                txt_item = jax.ops.segment_sum(txt_item[txt_c] * txt_v[:, None],
-                                               txt_r, num_segments=num_items)
-            txt_user = jax.ops.segment_sum(txt_item[r_src] * r_w[:, None],
-                                           r_dst, num_segments=num_users)
+                txt_item = prop_txt(txt_item)
+            txt_user = prop_r(txt_item)
             text_embeds = jnp.concatenate([txt_user, txt_item], axis=0)
 
             # Behavior-Aware Fuser

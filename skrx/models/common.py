@@ -19,18 +19,30 @@ __all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2",
 
 GRAPH_IMPLS = ("auto", "segment", "mxu")
 
+# Below this edge count the XLA scatter is already fast and the Pallas
+# compile time dominates, so 'auto' keeps the segment path.
+_MXU_MIN_EDGES = 200_000
+
+
+def resolve_graph_impl(graph_impl: str, num_edges: int) -> str:
+    """Resolve 'auto' to a concrete propagation implementation.
+
+    'mxu' (Pallas MXU scatter kernel, 3.5-4x per propagate at Gowalla scale
+    — skrx/ops/pallas/segsum_mxu.py) on TPU for graphs big enough that the
+    scatter dominates; 'segment' (XLA sorted segment-sum) elsewhere (small
+    graphs, and CPU where the interpret-mode Pallas fallback is slow).
+    """
+    if graph_impl != "auto":
+        return graph_impl
+    if jax.default_backend() == "tpu" and num_edges >= _MXU_MIN_EDGES:
+        return "mxu"
+    return "segment"
+
 
 def build_prop_graph(adj, graph_impl: str = "auto"):
-    """Lower a scipy adjacency for ``skrx.ops.graph.propagate``.
-
-    'mxu' uses the Pallas MXU scatter kernel (3.5-4x per propagate at
-    Gowalla scale — skrx/ops/pallas/segsum_mxu.py); 'segment' the XLA sorted
-    segment-sum. 'auto' picks 'mxu' on TPU and 'segment' elsewhere (the
-    interpret-mode Pallas fallback is slow on CPU).
-    """
-    if graph_impl == "auto":
-        graph_impl = "mxu" if jax.default_backend() == "tpu" else "segment"
-    if graph_impl == "mxu":
+    """Lower a scipy adjacency for ``skrx.ops.graph.propagate`` using the
+    implementation picked by :func:`resolve_graph_impl`."""
+    if resolve_graph_impl(graph_impl, adj.nnz) == "mxu":
         from ..ops.pallas.segsum_mxu import mxu_graph_from_sp_matrix
         return mxu_graph_from_sp_matrix(adj)
     from ..ops.graph import graph_from_sp_matrix

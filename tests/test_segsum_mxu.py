@@ -225,3 +225,48 @@ def test_masked_edges_block_nonfinite_rows():
     out = np.asarray(propagate_mxu(g, x, mask))
     # CSR edge order: (0 <- 1) then (1 <- 0); mask keeps only the first
     np.testing.assert_allclose(out, [[1.0, 2.0], [0.0, 0.0]])
+
+
+def test_freedom_mxu_impl_matches_segment(tmp_path, monkeypatch):
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.FREEDOM import FREEDOM
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=10, with_mm=True, img_dim=12,
+                                          txt_dim=10)
+    rc = RunConfig(recommender="FREEDOM", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, embed_dim=16, feat_dim=16, knn_k=5, dropout=0.6,
+                  n_mm_layers=1, n_ui_layers=2, batch_size=256, epochs=2,
+                  early_stop=2)
+    res_seg = FREEDOM(rc, dict(params, graph_impl="segment")).fit()
+    res_mxu = FREEDOM(rc, dict(params, graph_impl="mxu")).fit()
+    assert np.isfinite(res_mxu["NDCG@10"])
+    np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=2e-3)
+
+
+def test_mgcn_mxu_impl_matches_segment(tmp_path, monkeypatch):
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.MGCN import MGCN
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=12, with_mm=True, img_dim=12,
+                                          txt_dim=10)
+    rc = RunConfig(recommender="MGCN", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, embed_dim=16, n_ui_layers=2, n_layers=1, knn_k=5,
+                  batch_size=256, epochs=2, early_stop=2)
+    res_seg = MGCN(rc, dict(params, graph_impl="segment")).fit()
+    res_mxu = MGCN(rc, dict(params, graph_impl="mxu")).fit()
+    assert np.isfinite(res_mxu["NDCG@10"])
+    np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=2e-3)
