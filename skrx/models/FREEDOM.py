@@ -112,9 +112,9 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        from .common import resolve_graph_impl
+        from .common import mxu_msg_dtype, resolve_graph_impl
         impl = resolve_graph_impl(cfg.graph_impl, 2 * n_edges)
-        if impl == "mxu":
+        if impl.startswith("mxu"):
             # Same mask-over-static-structure reformulation as LayerGCN:
             # per-epoch degree pruning becomes a renormalized edge mask.
             from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
@@ -128,9 +128,11 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
             g_ui = mxu_graph_from_coo(
                 np.concatenate([cols_np + num_users, rows_np]),
                 np.concatenate([rows_np, cols_np + num_users]),
-                np.concatenate([base_np, base_np]), num_users + num_items)
+                np.concatenate([base_np, base_np]), num_users + num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             g_mm = mxu_graph_from_coo(np.asarray(mm_c), np.asarray(mm_r),
-                                      np.asarray(mm_v), num_items)
+                                      np.asarray(mm_v), num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             base_dev = jnp.asarray(base_np)
 
             @jax.jit

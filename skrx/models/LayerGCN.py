@@ -105,10 +105,10 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        from .common import resolve_graph_impl
+        from .common import mxu_msg_dtype, resolve_graph_impl
         impl = resolve_graph_impl(cfg.graph_impl, 2 * self._n_edges)
         self._graph_impl = impl
-        if impl == "mxu":
+        if impl.startswith("mxu"):
             # Static symmetric node-graph structure; per-epoch pruning becomes
             # an edge MASK: kept-edge indicator with on-device degree
             # renormalization, divided by the baked base weights so
@@ -125,7 +125,8 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             dst_np = np.concatenate([rows_np, cols_np + num_users])
             g_static = mxu_graph_from_coo(src_np, dst_np,
                                           np.concatenate([base_np, base_np]),
-                                          num_users + num_items)
+                                          num_users + num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             base_dev = jnp.asarray(base_np)
 
             def _mask_from_keep(keep_idx):

@@ -106,9 +106,9 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
         u_mul_s, v_mul_s, ut, vt = (self._u_mul_s, self._v_mul_s, self._ut,
                                     self._vt)
 
-        from .common import resolve_graph_impl
+        from .common import mxu_msg_dtype, resolve_graph_impl
         impl = resolve_graph_impl(cfg.graph_impl, len(coo.data))
-        if impl == "mxu":
+        if impl.startswith("mxu"):
             # rectangular R lowered for the MXU scatter kernel; R^T shares
             # buffers (and edge ids, so one dropout mask drives both)
             from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
@@ -116,7 +116,8 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
                                                  transpose_mxu_graph)
             g_r = mxu_graph_from_coo(coo.col, coo.row,
                                      norm_data.astype(np.float32),
-                                     num_users, num_src_nodes=num_items)
+                                     num_users, num_src_nodes=num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             g_rt = transpose_mxu_graph(g_r)
 
             def prop_u(x_i, mask):  # R @ x_i

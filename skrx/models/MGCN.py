@@ -167,21 +167,25 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         img_r, img_c, img_v = self._img_adj
         txt_r, txt_c, txt_v = self._txt_adj
 
-        from .common import resolve_graph_impl
+        from .common import mxu_msg_dtype, resolve_graph_impl
         impl = resolve_graph_impl(cfg.graph_impl, int(np.asarray(adj_w).size))
-        if impl == "mxu":
+        if impl.startswith("mxu"):
             # all four propagations are static: lower each for the MXU kernel
             from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
                                                  propagate_mxu)
             g_adj = mxu_graph_from_coo(np.asarray(adj_src), np.asarray(adj_dst),
-                                       np.asarray(adj_w), n)
+                                       np.asarray(adj_w), n,
+                msg_dtype=mxu_msg_dtype(impl))
             g_r = mxu_graph_from_coo(np.asarray(r_src), np.asarray(r_dst),
                                      np.asarray(r_w), num_users,
-                                     num_src_nodes=num_items)
+                                     num_src_nodes=num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             g_img = mxu_graph_from_coo(np.asarray(img_c), np.asarray(img_r),
-                                       np.asarray(img_v), num_items)
+                                       np.asarray(img_v), num_items,
+                msg_dtype=mxu_msg_dtype(impl))
             g_txt = mxu_graph_from_coo(np.asarray(txt_c), np.asarray(txt_r),
-                                       np.asarray(txt_v), num_items)
+                                       np.asarray(txt_v), num_items,
+                msg_dtype=mxu_msg_dtype(impl))
 
             def prop_adj(x):
                 return propagate_mxu(g_adj, x)

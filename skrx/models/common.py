@@ -15,9 +15,10 @@ from .base import JaxRecommender
 
 __all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2",
            "ChunkedDotPredictMixin", "CachedUserVecChunkMixin",
-           "build_prop_graph", "GRAPH_IMPLS"]
+           "build_prop_graph", "GRAPH_IMPLS", "resolve_graph_impl",
+           "mxu_msg_dtype"]
 
-GRAPH_IMPLS = ("auto", "segment", "mxu")
+GRAPH_IMPLS = ("auto", "segment", "mxu", "mxu_bf16")
 
 # Below this edge count the XLA scatter is already fast and the Pallas
 # compile time dominates, so 'auto' keeps the segment path.
@@ -39,12 +40,20 @@ def resolve_graph_impl(graph_impl: str, num_edges: int) -> str:
     return "segment"
 
 
+def mxu_msg_dtype(impl: str):
+    """Message dtype for a resolved 'mxu*' impl ('mxu_bf16' halves gather +
+    message traffic, ~1e-3 feature rounding; see segsum_mxu.py numbers)."""
+    import jax.numpy as jnp
+    return jnp.bfloat16 if impl == "mxu_bf16" else jnp.float32
+
+
 def build_prop_graph(adj, graph_impl: str = "auto"):
     """Lower a scipy adjacency for ``skrx.ops.graph.propagate`` using the
     implementation picked by :func:`resolve_graph_impl`."""
-    if resolve_graph_impl(graph_impl, adj.nnz) == "mxu":
+    impl = resolve_graph_impl(graph_impl, adj.nnz)
+    if impl.startswith("mxu"):
         from ..ops.pallas.segsum_mxu import mxu_graph_from_sp_matrix
-        return mxu_graph_from_sp_matrix(adj)
+        return mxu_graph_from_sp_matrix(adj, msg_dtype=mxu_msg_dtype(impl))
     from ..ops.graph import graph_from_sp_matrix
     return graph_from_sp_matrix(adj)
 

@@ -36,6 +36,10 @@ gather, which is already bandwidth-bound. bfloat16 messages round the
 gathered features (rel err ~1e-3); float32 uses a HIGHEST-precision matmul
 (exact to ~1e-7).
 
+End-to-end training effect (TPU v5e, LightGCN 3-layer train step, 4M
+edges, D=64, batch 2048): 357ms/step segment -> 135ms float32 / 111ms
+bfloat16 messages (2.6x / 3.2x).
+
 Falls back to interpret mode off-TPU (tests run it on CPU).
 """
 import functools

@@ -270,3 +270,27 @@ def test_mgcn_mxu_impl_matches_segment(tmp_path, monkeypatch):
     assert np.isfinite(res_mxu["NDCG@10"])
     np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
                                rtol=2e-3)
+
+
+def test_mxu_bf16_impl_trains_close(tmp_path, monkeypatch):
+    """graph_impl='mxu_bf16' (halved message traffic) trains to metrics close
+    to the f32 paths (bf16 feature rounding, larger drift allowed)."""
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.LightGCN import LightGCN
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=7, latent_dim=4,
+                                          latent_strength=6.0)
+    rc = RunConfig(recommender="LightGCN", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, reg=0.001, embed_size=16, n_layers=2,
+                  batch_size=256, epochs=2, early_stop=2)
+    res_seg = LightGCN(rc, dict(params, graph_impl="segment")).fit()
+    res_bf = LightGCN(rc, dict(params, graph_impl="mxu_bf16")).fit()
+    assert np.isfinite(res_bf["NDCG@10"])
+    np.testing.assert_allclose(res_bf["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=0.1)
