@@ -1,0 +1,120 @@
+"""Sharded sparse propagation: edge-partitioned A @ x over a device mesh.
+
+No reference counterpart (scikit-recommender is single-GPU; SURVEY §2.4):
+this extends the mesh machinery to the graph model family (LightGCN-style
+propagation) so full-graph training scales past one chip's HBM.
+
+Design (standard JAX SPMD graph pattern):
+
+* **Node features row-sharded.** ``x`` lives row-sharded over a mesh axis,
+  padded to ``n_shards * rows_per_shard``.
+* **Edges partitioned by destination.** Host-side, dst-sorted edges are cut
+  at shard row boundaries and padded to equal per-shard length (weight 0),
+  so every device owns exactly the edges that produce its output rows.
+* **One collective per layer.** Each propagate all-gathers ``x`` (N x D over
+  ICI), then runs the same gather + sorted segment-sum as the single-chip
+  path, writing only its local row block. The backward is automatic:
+  all_gather's VJP is a reduce-scatter (psum_scatter), so gradients flow to
+  the row-sharded features without any hand-written collectives.
+
+Edge weights are non-differentiable constants, as everywhere in the zoo.
+"""
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+__all__ = ["ShardedGraph", "sharded_graph_from_sp_matrix",
+           "make_sharded_propagate", "pad_rows", "unpad_rows"]
+
+
+class ShardedGraph(NamedTuple):
+    """Edge partition for an n-shard mesh axis. Leading dim = shard."""
+    src: jnp.ndarray        # (S, E_s) int32 — global source row ids
+    dst_local: jnp.ndarray  # (S, E_s) int32 — dst offset within the shard
+    weight: jnp.ndarray     # (S, E_s) float32 — 0 on padding
+    num_nodes: int          # true (unpadded) node count
+    rows_per_shard: int
+    num_shards: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.rows_per_shard * self.num_shards
+
+
+def sharded_graph_from_sp_matrix(mat: sp.spmatrix,
+                                 num_shards: int) -> ShardedGraph:
+    """Partition a square adjacency's edges by destination into
+    ``num_shards`` contiguous row ranges (padded to equal length)."""
+    coo = sp.coo_matrix(sp.csr_matrix(mat))  # dst (row) ascending
+    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
+    n = coo.shape[0]
+    rows_per = -(-n // num_shards)
+    src, dst, w = (coo.col.astype(np.int64), coo.row.astype(np.int64),
+                   coo.data.astype(np.float32))
+    shard_of = dst // rows_per
+    counts = np.bincount(shard_of, minlength=num_shards)
+    e_s = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    offs = np.arange(e_s)
+    eidx = starts[:, None] + offs[None, :]
+    valid = offs[None, :] < counts[:, None]
+    eidx_c = np.where(valid, eidx, 0)
+    src_p = np.where(valid, src[eidx_c], 0).astype(np.int32)
+    dstl_p = np.where(valid,
+                      dst[eidx_c] - (np.arange(num_shards) * rows_per)[:, None],
+                      0).astype(np.int32)
+    w_p = np.where(valid, w[eidx_c], 0.0).astype(np.float32)
+    return ShardedGraph(jnp.asarray(src_p), jnp.asarray(dstl_p),
+                        jnp.asarray(w_p), n, int(rows_per), int(num_shards))
+
+
+def pad_rows(x: jnp.ndarray, graph: ShardedGraph) -> jnp.ndarray:
+    """Zero-pad (N, D) node features to the sharded row count."""
+    pad = graph.padded_nodes - x.shape[0]
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def unpad_rows(x: jnp.ndarray, graph: ShardedGraph) -> jnp.ndarray:
+    return x[:graph.num_nodes]
+
+
+def make_sharded_propagate(mesh, graph: ShardedGraph,
+                           axis: str = DATA_AXIS):
+    """Build ``prop(x_padded) -> A @ x`` over ``mesh`` with node rows and
+    edge shards split on ``axis``. Input/output are (padded_nodes, D) arrays
+    row-sharded on ``axis``; call inside or outside jit.
+
+    Each call places the edge shards once (device_put with the right
+    sharding); the returned closure is differentiable in ``x``.
+    """
+    from jax import shard_map
+
+    edge_spec = NamedSharding(mesh, P(axis, None))
+    src = jax.device_put(graph.src, edge_spec)
+    dstl = jax.device_put(graph.dst_local, edge_spec)
+    w = jax.device_put(graph.weight, edge_spec)
+    rows_per = graph.rows_per_shard
+
+    def _local(src_s, dstl_s, w_s, x_s):
+        # (1, E_s) shards; x_s is this device's (rows_per, D) block
+        x_full = jax.lax.all_gather(x_s, axis, axis=0, tiled=True)
+        msgs = x_full[src_s[0]] * w_s[0][:, None]
+        out = jax.ops.segment_sum(msgs, dstl_s[0], num_segments=rows_per,
+                                  indices_are_sorted=True)
+        return out
+
+    def prop(x_padded: jnp.ndarray) -> jnp.ndarray:
+        f = shard_map(_local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                                P(axis, None)),
+                      out_specs=P(axis, None), check_vma=False)
+        return f(src, dstl, w, x_padded)
+
+    return prop
