@@ -96,3 +96,19 @@ def test_model_smoke(name, params, data_dir, tmp_path, monkeypatch):
     assert scores.shape in ((3, model.dataset.num_items),
                             (3, model.dataset.num_items + 1))
     assert np.isfinite(scores).all()
+
+
+def test_multvae_bf16_compute_close(data_dir, tmp_path, monkeypatch):
+    """compute_dtype='bfloat16' (MXU mixed precision) trains to metrics close
+    to f32 (f32 master weights and loss; bf16 only in the MLP matmuls)."""
+    monkeypatch.chdir(tmp_path)
+    registry = ModelRegistry()
+    registry.load_skrx_model("MultVAE")
+    model_cls, _ = registry.get_model("MultVAE")
+    params = dict(lr=0.01, p_dims=[16], batch_size=64, epochs=2, early_stop=2)
+    r32 = model_cls(_cfg(data_dir, "MultVAE"),
+                    dict(params, compute_dtype="float32")).fit()
+    rbf = model_cls(_cfg(data_dir, "MultVAE"),
+                    dict(params, compute_dtype="bfloat16")).fit()
+    assert np.isfinite(rbf["NDCG@10"])
+    np.testing.assert_allclose(rbf["NDCG@10"], r32["NDCG@10"], rtol=0.15)
