@@ -29,6 +29,10 @@ class FPMCConfig(ModelConfig):
     lr: float = 1e-3
     reg: float = 1e-3
     embed_size: int = 64
+    # "adam" (dense, reference parity) or "lazy_adam" (row-wise sparse
+    # moments, O(B*D) update instead of O(N*D) — for huge catalogs;
+    # skrx/ops/optim.py has the break-even numbers)
+    optimizer: str = "adam"
     batch_size: int = 1024
     epochs: int = 1000
     early_stop: int = 200
@@ -37,6 +41,7 @@ class FPMCConfig(ModelConfig):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.reg, float) and self.reg >= 0
         assert isinstance(self.embed_size, int) and self.embed_size > 0
+        assert self.optimizer in ("adam", "lazy_adam")
         assert isinstance(self.batch_size, int) and self.batch_size > 0
         assert isinstance(self.epochs, int) and self.epochs >= 0
         assert isinstance(self.early_stop, int)
@@ -79,7 +84,31 @@ class FPMC(EpochTrainedRecommender):
                 + p["IL"][pos] ** 2 + p["IL"][neg] ** 2, -1) * w)
             return loss + reg * reg_term
 
-        self._finalize_setup_flat(run_config.seed, loss_fn)
+        if cfg.optimizer == "lazy_adam":
+            from ..ops.optim import make_lazy_train_step
+
+            def gathered_loss(gathered, dense, batch):
+                users, pos, neg, w, prev = batch
+                ui, iu_p, iu_n, il_p, il_n, li_l = gathered
+                y_pos = jnp.sum(ui * iu_p, -1) + jnp.sum(li_l * il_p, -1)
+                y_neg = jnp.sum(ui * iu_n, -1) + jnp.sum(li_l * il_n, -1)
+                loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
+                reg_term = 0.5 * jnp.sum(jnp.sum(
+                    ui ** 2 + li_l ** 2 + iu_p ** 2 + iu_n ** 2
+                    + il_p ** 2 + il_n ** 2, -1) * w)
+                return loss + reg * reg_term
+
+            gathers = [("UI", lambda b: b[0]),
+                       ("IU", lambda b: b[1]),
+                       ("IU", lambda b: b[2][:, 0]),
+                       ("IL", lambda b: b[1]),
+                       ("IL", lambda b: b[2][:, 0]),
+                       ("LI", lambda b: b[4][:, 0])]
+            self._train_step, self.opt_state = make_lazy_train_step(
+                cfg.lr, gathers, gathered_loss, self.params)
+            self._rng = jax.random.key(run_config.seed + 1)
+        else:
+            self._finalize_setup_flat(run_config.seed, loss_fn)
 
         # Last training item per user for prediction (FPMC.py:147-150).
         last_items = np.zeros(self.num_users, dtype=np.int32)

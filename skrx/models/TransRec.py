@@ -27,6 +27,9 @@ class TransRecConfig(ModelConfig):
     lr: float = 1e-3
     reg: float = 1e-3
     embed_size: int = 64
+    # "adam" (dense, reference parity) or "lazy_adam" (row-wise sparse
+    # moments for the user/item tables; 'trans' stays dense)
+    optimizer: str = "adam"
     batch_size: int = 1024
     epochs: int = 1000
     early_stop: int = 200
@@ -35,6 +38,7 @@ class TransRecConfig(ModelConfig):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.reg, float) and self.reg >= 0
         assert isinstance(self.embed_size, int) and self.embed_size > 0
+        assert self.optimizer in ("adam", "lazy_adam")
         assert isinstance(self.batch_size, int) and self.batch_size > 0
         assert isinstance(self.epochs, int) and self.epochs >= 0
         assert isinstance(self.early_stop, int)
@@ -80,7 +84,33 @@ class TransRec(EpochTrainedRecommender):
                 + jnp.sum((p["item_bias"][pos] ** 2 + p["item_bias"][neg] ** 2) * w))
             return loss + reg * reg_term
 
-        self._finalize_setup_flat(run_config.seed, loss_fn)
+        if cfg.optimizer == "lazy_adam":
+            from ..ops.optim import make_lazy_train_step
+
+            def gathered_loss(gathered, dense, batch):
+                users, pos, neg, w, prev = batch
+                ue, ie_l, ie_p, ie_n, b_p, b_n = gathered
+                translated = ue + dense["trans"] + ie_l
+                y_pos = -euclidean_distance(translated, ie_p) + b_p
+                y_neg = -euclidean_distance(translated, ie_n) + b_n
+                loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
+                reg_term = 0.5 * (jnp.sum(jnp.sum(
+                    ue ** 2 + ie_l ** 2 + ie_p ** 2 + ie_n ** 2, -1) * w)
+                    + jnp.sum(dense["trans"] ** 2)
+                    + jnp.sum((b_p ** 2 + b_n ** 2) * w))
+                return loss + reg * reg_term
+
+            gathers = [("user_emb", lambda b: b[0]),
+                       ("item_emb", lambda b: b[4][:, 0]),
+                       ("item_emb", lambda b: b[1]),
+                       ("item_emb", lambda b: b[2][:, 0]),
+                       ("item_bias", lambda b: b[1]),
+                       ("item_bias", lambda b: b[2][:, 0])]
+            self._train_step, self.opt_state = make_lazy_train_step(
+                cfg.lr, gathers, gathered_loss, self.params)
+            self._rng = jax.random.key(run_config.seed + 1)
+        else:
+            self._finalize_setup_flat(run_config.seed, loss_fn)
 
         last_items = np.zeros(self.num_users, dtype=np.int32)
         for u, seq in self.user_pos_dict.items():

@@ -13,7 +13,12 @@ Opt-in (models default to dense Adam for reference parity). Measured on a
 TPU v5e (B=1024, D=64): the row-wise update costs ~0.65 ms/step regardless
 of N (sort + segment-sum + scatters), while the dense update scales with the
 table; break-even is around N ~ 200k rows at D=64 — use lazy_adam for
-larger-than-that catalogs, dense Adam below.
+larger-than-that catalogs, dense Adam below. Full-model scale check (FPMC,
+4 tables, 1M items, B=1024, under the whole-epoch lax.scan): 3.5 ms/step
+lazy vs ~30 ms dense flat Adam (~8x). NOTE: the in-place row scatters rely
+on lax.scan's carry aliasing — a bare jitted step without donated carries
+copies each table and loses the win; all skrx pipelines run steps under
+scan.
 """
 from typing import NamedTuple, Tuple
 
@@ -21,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["LazyAdamState", "lazy_adam_init", "lazy_adam_row_update",
-           "dedup_rows"]
+           "dedup_rows", "make_lazy_train_step"]
 
 
 class LazyAdamState(NamedTuple):
@@ -95,3 +100,64 @@ def lazy_adam_row_update(state: LazyAdamState, table: jnp.ndarray,
     counts = state.counts.at[rows_u].set(
         jnp.where(rows_u < drop, t, state.counts[safe]), mode="drop")
     return LazyAdamState(m, v, counts), table
+
+
+def make_lazy_train_step(lr: float, gathers, loss_fn, params):
+    """Generic train step with row-wise lazy Adam on embedding tables.
+
+    The loss must be expressed over GATHERED rows so the backward never
+    materializes dense table gradients (the point of the exercise — this is
+    what BPRMF's bespoke lazy path does, factored out for the rest of the
+    embedding-dominant zoo).
+
+    gathers: list of ``(table_key, rows_fn)`` where ``rows_fn(batch)`` returns
+      the (K,) int32 rows gathered from ``params[table_key]``. The same table
+      may appear multiple times (e.g. positives and negatives); its row sets
+      are concatenated into one update so overlapping rows sum exactly as
+      dense Adam would (``dedup_rows``).
+    loss_fn(gathered, dense_params, batch): ``gathered`` is the list of
+      gathered row blocks in ``gathers`` order; ``dense_params`` holds every
+      other leaf, updated with dense optax Adam at the same lr.
+
+    Returns ``(train_step, opt_state)`` with the usual
+    ``(params, opt_state), loss = train_step((params, opt_state), batch)``
+    contract. Untouched-row semantics are torch.optim.SparseAdam's (moments
+    frozen), not dense Adam's (moments decay) — see module docstring.
+    """
+    import optax
+
+    table_keys = []
+    for k, _ in gathers:
+        if k not in table_keys:
+            table_keys.append(k)
+    dense_keys = [k for k in params if k not in table_keys]
+    dense_opt = optax.adam(lr)
+    opt_state = ({k: lazy_adam_init(params[k]) for k in table_keys},
+                 dense_opt.init({k: params[k] for k in dense_keys}))
+
+    def train_step(carry, batch):
+        params, (lazy_states, dense_state) = carry
+        rows = [rows_fn(batch) for _, rows_fn in gathers]
+        gathered = [params[k][r] for (k, _), r in zip(gathers, rows)]
+        dense = {k: params[k] for k in dense_keys}
+        loss, (g_rows, g_dense) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(gathered, dense, batch)
+
+        new_params = dict(params)
+        new_lazy = dict(lazy_states)
+        by_table = {}
+        for (k, _), r, g in zip(gathers, rows, g_rows):
+            by_table.setdefault(k, []).append((r, g))
+        for k, items in by_table.items():
+            r = jnp.concatenate([a for a, _ in items])
+            g = jnp.concatenate([b for _, b in items])
+            new_lazy[k], new_params[k] = lazy_adam_row_update(
+                new_lazy[k], params[k], r, g, lr)
+        if dense_keys:
+            updates, dense_state = dense_opt.update(g_dense, dense_state,
+                                                    dense)
+            for k, upd in optax.apply_updates(dense, updates).items():
+                new_params[k] = upd
+        return (new_params, (new_lazy, dense_state)), loss
+
+    return train_step, opt_state
