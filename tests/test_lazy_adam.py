@@ -108,3 +108,46 @@ def test_generic_lazy_adam_learns(name, params, tmp_path, monkeypatch):
     assert res_lazy["NDCG@10"] > 0.02  # well above random on this fixture
     # same ballpark as dense Adam
     assert res_lazy["NDCG@10"] > 0.5 * res_dense["NDCG@10"]
+
+
+def test_make_lazy_train_step_mixed_dense_and_sparse():
+    """Generic builder with BOTH table and dense leaves: tables update only
+    on touched rows; the dense leaf follows optax Adam exactly."""
+    from skrx.ops.optim import make_lazy_train_step
+
+    rng = np.random.default_rng(0)
+    n, d = 40, 4
+    params = {"emb": jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)),
+              "w": jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))}
+
+    def loss_fn(gathered, dense, batch):
+        rows_emb, = gathered
+        h = rows_emb @ dense["w"]
+        return jnp.sum(h ** 2)
+
+    gathers = [("emb", lambda b: b)]
+    step, opt_state = make_lazy_train_step(0.01, gathers, loss_fn, params)
+    batch = jnp.asarray(np.array([3, 7, 3], np.int32))  # duplicate row 3
+    (new_params, _), loss = jax.jit(step)((params, opt_state), batch)
+    assert np.isfinite(float(loss))
+
+    # untouched embedding rows unchanged
+    touched = {3, 7}
+    emb0, emb1 = np.asarray(params["emb"]), np.asarray(new_params["emb"])
+    for r in range(n):
+        if r in touched:
+            assert not np.allclose(emb0[r], emb1[r])
+        else:
+            np.testing.assert_array_equal(emb0[r], emb1[r])
+
+    # dense leaf matches a reference optax Adam step on the same gradient
+    import optax
+    def dense_loss(w):
+        return jnp.sum((params["emb"][batch] @ w) ** 2)
+    g = jax.grad(dense_loss)(params["w"])
+    opt = optax.adam(0.01)
+    upd, _ = opt.update({"w": g}, opt.init({"w": params["w"]}),
+                        {"w": params["w"]})
+    ref_w = optax.apply_updates({"w": params["w"]}, upd)["w"]
+    np.testing.assert_allclose(np.asarray(new_params["w"]), np.asarray(ref_w),
+                               rtol=1e-6, atol=1e-7)
