@@ -237,3 +237,80 @@ def test_multvae_quality_parity(dataset, tmp_path, monkeypatch):
                               early_stop=20, anneal_steps=0, anneal_cap=0.2))
     skrx_ndcg = model.fit()["NDCG@10"]
     assert skrx_ndcg > 0.9 * torch_best, (skrx_ndcg, torch_best)
+
+
+class _TorchFPMC:
+    """Reference-architecture FPMC (FPMC.py:57-150 semantics): four
+    embedding tables, BPR + L2 on involved rows, Adam, per-epoch resampled
+    negatives via the sequential pairwise iterator."""
+
+    def __init__(self, ds, seed=0, d=16, lr=0.01, reg=0.01):
+        torch.manual_seed(seed)
+        self.ds, self.lr, self.reg = ds, lr, reg
+        self.UI = torch.nn.Embedding(ds.num_users, d)
+        self.IU = torch.nn.Embedding(ds.num_items, d)
+        self.IL = torch.nn.Embedding(ds.num_items, d)
+        self.LI = torch.nn.Embedding(ds.num_items, d)
+        for e in (self.UI, self.IU, self.IL, self.LI):
+            torch.nn.init.normal_(e.weight, 0.0, 0.01)
+        self.opt = torch.optim.Adam(
+            [p for e in (self.UI, self.IU, self.IL, self.LI)
+             for p in e.parameters()], lr=lr)
+        seqs = ds.train_data.to_user_dict_by_time()
+        self._last = np.zeros(ds.num_users, dtype=np.int64)
+        for u, s in seqs.items():
+            self._last[u] = s[-1]
+
+    def fit_and_best(self, evaluator, epochs=15):
+        from skrx.io import SequentialPairwiseIterator
+        it = SequentialPairwiseIterator(self.ds.train_data, num_previous=1,
+                                        num_next=1, batch_size=256,
+                                        shuffle=True)
+        best = -1.0
+        for _ in range(epochs):
+            for users, seqs, pos, neg in it:
+                u = torch.from_numpy(users).long()
+                last = torch.from_numpy(np.asarray(seqs).reshape(-1)).long()
+                i = torch.from_numpy(np.asarray(pos).reshape(-1)).long()
+                j = torch.from_numpy(np.asarray(neg).reshape(-1)).long()
+                ui, li = self.UI(u), self.LI(last)
+                y_pos = (ui * self.IU(i)).sum(-1) + (li * self.IL(i)).sum(-1)
+                y_neg = (ui * self.IU(j)).sum(-1) + (li * self.IL(j)).sum(-1)
+                loss = -torch.nn.functional.logsigmoid(y_pos - y_neg).sum()
+                reg = 0.5 * (ui.pow(2).sum() + li.pow(2).sum()
+                             + self.IU(i).pow(2).sum() + self.IU(j).pow(2).sum()
+                             + self.IL(i).pow(2).sum() + self.IL(j).pow(2).sum())
+                loss = loss + self.reg * reg
+                self.opt.zero_grad()
+                loss.backward()
+                self.opt.step()
+            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+        return best
+
+    def predict(self, users):
+        with torch.no_grad():
+            u = torch.from_numpy(np.asarray(users)).long()
+            last = torch.from_numpy(self._last[np.asarray(users)]).long()
+            scores = self.UI(u) @ self.IU.weight.T \
+                + self.LI(last) @ self.IL.weight.T
+        return scores.numpy()
+
+
+def test_fpmc_quality_parity(dataset, tmp_path, monkeypatch):
+    """Sequential-MF parity: skrx FPMC (whole-epoch device pipeline) reaches
+    the torch-CPU reference loop's quality on the same data."""
+    monkeypatch.chdir(tmp_path)
+    path, ds = dataset
+    evaluator = RankingEvaluator(ds.train_data.to_user_dict(),
+                                 ds.test_data.to_user_dict(),
+                                 metric=("NDCG",), top_k=(10,), batch_size=64)
+    torch_best = _TorchFPMC(ds).fit_and_best(evaluator)
+
+    from skrx.models.FPMC import FPMC
+    run = RunConfig(recommender="FPMC", data_dir=path, file_column="UIRT",
+                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    test_batch_size=64, seed=2021)
+    result = FPMC(run, dict(lr=0.01, reg=0.01, embed_size=16, batch_size=256,
+                            epochs=15, early_stop=15)).fit()
+    assert result["NDCG@10"] > 0.9 * torch_best, \
+        (float(result["NDCG@10"]), torch_best)
