@@ -40,6 +40,7 @@ class SGATConfig(ModelConfig):
     n_seqs: int = 5
     n_next: int = 3
     embed_size: int = 64
+    graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 1024
     epochs: int = 500
     early_stop: int = 100
@@ -51,6 +52,8 @@ class SGATConfig(ModelConfig):
         assert isinstance(self.n_seqs, int) and self.n_seqs > 0
         assert isinstance(self.n_next, int) and self.n_next > 0
         assert isinstance(self.embed_size, int) and self.embed_size > 0
+        from .common import GRAPH_IMPLS
+        assert self.graph_impl in GRAPH_IMPLS
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
@@ -117,6 +120,26 @@ class SGAT(CachedUserVecChunkMixin, EpochTrainedRecommender):
         n_layers, n_next, reg = cfg.n_layers, cfg.n_next, cfg.reg
         pad_id = num_items
 
+        from .common import mxu_msg_dtype, resolve_graph_impl
+        impl = resolve_graph_impl(cfg.graph_impl, n_edges)
+        if impl.startswith("mxu"):
+            # the (E, D) attention-weighted aggregation runs through the MXU
+            # scatter kernel with TRACED weights (attention is learned, so
+            # the kernel's weight cotangent path is exercised here)
+            from ..ops.pallas.segsum_mxu import (propagate_mxu_weighted,
+                                                 weighted_mxu_graph_from_coo)
+            g_items = weighted_mxu_graph_from_coo(
+                graph[5], graph[4], num_items,
+                msg_dtype=mxu_msg_dtype(impl))
+
+            def aggregate(att, items):
+                return propagate_mxu_weighted(g_items, items, att)
+        else:
+            def aggregate(att, items):
+                return jax.ops.segment_sum(
+                    att[:, None] * items[edge_head], edge_tail,
+                    num_segments=num_items)
+
         def l2d(a, b):
             return jnp.sqrt(jnp.sum((a - b) ** 2, -1) + 1e-12)
 
@@ -135,10 +158,7 @@ class SGAT(CachedUserVecChunkMixin, EpochTrainedRecommender):
                 row_sum = jax.ops.segment_sum(edge_sum, edge_tail,
                                               num_segments=num_items) + 1e-6
                 att = edge_sum / row_sum[edge_tail]
-                neighbor = jax.ops.segment_sum(
-                    att[:, None] * items[edge_head], edge_tail,
-                    num_segments=num_items)
-                items = items + neighbor
+                items = items + aggregate(att, items)
             return items
 
         self._propagate_items = jax.jit(propagate_items)

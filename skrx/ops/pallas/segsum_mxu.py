@@ -54,7 +54,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ChunkMeta", "MXUGraph", "chunk_sorted_coo", "mxu_graph_from_coo",
-           "mxu_graph_from_sp_matrix", "propagate_mxu", "transpose_mxu_graph"]
+           "mxu_graph_from_sp_matrix", "propagate_mxu", "transpose_mxu_graph",
+           "WeightedMXUGraph", "weighted_mxu_graph_from_coo",
+           "propagate_mxu_weighted"]
 
 
 class ChunkMeta(NamedTuple):
@@ -239,3 +241,55 @@ def propagate_mxu(graph: MXUGraph, x: jnp.ndarray,
 
     prop.defvjp(prop_fwd, prop_bwd)
     return prop(x, edge_mask)
+
+
+class WeightedMXUGraph(NamedTuple):
+    """Chunk metadata for propagation with TRACED (differentiable) per-edge
+    weights — e.g. SGAT's attention coefficients. The baked ``w_pad`` is a
+    0/1 validity mask; original (src, dst) arrays are kept for the weight
+    cotangent ``dw_e = <g[dst_e], x[src_e]>``."""
+    fwd: ChunkMeta
+    bwd: ChunkMeta
+    src: jnp.ndarray       # (E,) int32, original edge order
+    dst: jnp.ndarray       # (E,) int32
+    num_nodes: int
+    msg_dtype: jnp.dtype = jnp.float32
+
+
+def weighted_mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray,
+                                num_nodes: int, block_k: int = 512,
+                                window: int = 128, msg_dtype=jnp.float32,
+                                num_src_nodes: Optional[int] = None
+                                ) -> WeightedMXUGraph:
+    ones = np.ones(len(src), np.float32)
+    g = mxu_graph_from_coo(src, dst, ones, num_nodes, block_k, window,
+                           msg_dtype, num_src_nodes)
+    return WeightedMXUGraph(g.fwd, g.bwd,
+                            jnp.asarray(np.asarray(src, np.int32)),
+                            jnp.asarray(np.asarray(dst, np.int32)),
+                            int(num_nodes), jnp.dtype(msg_dtype))
+
+
+def propagate_mxu_weighted(graph: WeightedMXUGraph, x: jnp.ndarray,
+                           weights: jnp.ndarray) -> jnp.ndarray:
+    """``A(w) @ x`` where ``weights`` (E,) is a traced, differentiable value
+    (attention coefficients). Differentiable in BOTH ``x`` (through A(w)^T)
+    and ``weights`` (dw_e = <g[dst_e], x[src_e]> — two row gathers + a
+    row-wise dot, no scatter)."""
+    msg_dtype = graph.msg_dtype
+
+    @jax.custom_vjp
+    def prop(x, w):
+        return _run_direction(graph.fwd, x, msg_dtype, w)
+
+    def prop_fwd(x, w):
+        return prop(x, w), (x, w)
+
+    def prop_bwd(res, g):
+        x, w = res
+        dx = _run_direction(graph.bwd, g, msg_dtype, w)
+        dw = jnp.einsum("ed,ed->e", g[graph.dst], x[graph.src])
+        return dx, dw
+
+    prop.defvjp(prop_fwd, prop_bwd)
+    return prop(x, weights)

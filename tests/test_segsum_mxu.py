@@ -294,3 +294,63 @@ def test_mxu_bf16_impl_trains_close(tmp_path, monkeypatch):
     assert np.isfinite(res_bf["NDCG@10"])
     np.testing.assert_allclose(res_bf["NDCG@10"], res_seg["NDCG@10"],
                                rtol=0.1)
+
+
+def test_weighted_propagate_and_weight_grad():
+    """propagate_mxu_weighted: traced weights, gradients in both x and w
+    match the segment formulation."""
+    from skrx.ops.pallas.segsum_mxu import (propagate_mxu_weighted,
+                                            weighted_mxu_graph_from_coo)
+
+    rng = np.random.default_rng(5)
+    n, d, e = 130, 8, 700
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    g = weighted_mxu_graph_from_coo(src, dst, n, block_k=64, window=16)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    def seg(xx, ww):
+        return jax.ops.segment_sum(xx[jnp.asarray(src)] * ww[:, None],
+                                   jnp.asarray(dst), num_segments=n,
+                                   indices_are_sorted=True)
+
+    out = propagate_mxu_weighted(g, x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seg(x, w)),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_mxu(xx, ww):
+        return jnp.sum(propagate_mxu_weighted(g, xx, ww) * ct)
+
+    def loss_seg(xx, ww):
+        return jnp.sum(seg(xx, ww) * ct)
+
+    gx_m, gw_m = jax.grad(loss_mxu, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(loss_seg, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_s), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_s), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sgat_mxu_impl_matches_segment(tmp_path, monkeypatch):
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.models.SGAT import SGAT
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=40,
+                                          num_items=60, num_ratings=900,
+                                          seed=14, latent_dim=4,
+                                          latent_strength=6.0)
+    rc = RunConfig(recommender="SGAT", data_dir=data_dir,
+                   file_column="UIRT", sep="\t", metric=("Recall", "NDCG"),
+                   top_k=(10,), test_batch_size=32, seed=2021)
+    params = dict(lr=0.01, reg=0.001, n_layers=2, n_seqs=4, n_next=2,
+                  embed_size=16, batch_size=256, epochs=2, early_stop=2)
+    res_seg = SGAT(rc, dict(params, graph_impl="segment")).fit()
+    res_mxu = SGAT(rc, dict(params, graph_impl="mxu")).fit()
+    assert np.isfinite(res_mxu["NDCG@10"])
+    np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
+                               rtol=2e-3)
