@@ -65,3 +65,30 @@ def test_checkpointer_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5.0))
     # keep=2 garbage-collects step 0
     assert 0 not in ck._steps()
+
+
+def test_checkpoint_resume_lazy_adam_fpmc(data_dir, tmp_path, monkeypatch):
+    """Resume determinism with the generic lazy-Adam opt state (dict of
+    LazyAdamState NamedTuples + optax state): interrupted FPMC reproduces
+    the uninterrupted parameters."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.FPMC import FPMC
+    params = dict(lr=0.05, reg=0.001, embed_size=8, batch_size=128, epochs=6,
+                  early_stop=10, optimizer="lazy_adam")
+    ckpt_a = str(tmp_path / "ckpt_la")
+    ckpt_b = str(tmp_path / "ckpt_lb")
+
+    full = FPMC(_cfg(data_dir, ckpt_a, recommender="FPMC"), params)
+    full.fit()
+    full_params = jax.tree_util.tree_map(np.asarray, full.params)
+
+    p3 = dict(params, epochs=3)
+    m1 = FPMC(_cfg(data_dir, ckpt_b, recommender="FPMC"), p3)
+    m1.fit()
+    m2 = FPMC(_cfg(data_dir, ckpt_b, recommender="FPMC", resume=True), params)
+    m2.fit()
+    resumed = jax.tree_util.tree_map(np.asarray, m2.params)
+
+    for k in full_params:
+        np.testing.assert_allclose(resumed[k], full_params[k], rtol=1e-5,
+                                   atol=1e-6)
