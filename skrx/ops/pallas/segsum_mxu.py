@@ -101,12 +101,18 @@ def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     offs = np.arange(block_k)
     eidx = chunk_start[:, None] + offs[None, :]
     valid = offs[None, :] < chunk_len[:, None]
-    eidx_c = np.where(valid, eidx, 0).astype(np.int64)
-    src_pad = np.where(valid, src[eidx_c], 0).astype(np.int32)
-    w_pad = np.where(valid, weight[eidx_c], 0.0).astype(np.float32)
-    ldst_pad = np.where(valid, dst[eidx_c] - block_idx[:, None] * window,
+    # clip (not where-then-gather) so a zero-edge graph doesn't fancy-index
+    # an empty array; padding slots read edge 0 and are masked below
+    eidx_c = np.minimum(eidx, max(len(src) - 1, 0)).astype(np.int64)
+    has_e = len(src) > 0
+    src_pad = np.where(valid, src[eidx_c] if has_e else 0, 0).astype(np.int32)
+    w_pad = np.where(valid, weight[eidx_c] if has_e else 0.0,
+                     0.0).astype(np.float32)
+    ldst_pad = np.where(valid,
+                        (dst[eidx_c] if has_e else 0)
+                        - block_idx[:, None] * window, 0).astype(np.int32)
+    orig_pad = np.where(valid, orig_ids[eidx_c] if has_e else 0,
                         0).astype(np.int32)
-    orig_pad = np.where(valid, orig_ids[eidx_c], 0).astype(np.int32)
     return ChunkMeta(jnp.asarray(src_pad.reshape(-1)),
                      jnp.asarray(ldst_pad.reshape(-1, 1)),
                      jnp.asarray(w_pad.reshape(-1)),

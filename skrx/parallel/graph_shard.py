@@ -65,12 +65,19 @@ def sharded_graph_from_sp_matrix(mat: sp.spmatrix,
     offs = np.arange(e_s)
     eidx = starts[:, None] + offs[None, :]
     valid = offs[None, :] < counts[:, None]
-    eidx_c = np.where(valid, eidx, 0)
-    src_p = np.where(valid, src[eidx_c], 0).astype(np.int32)
+    # clip (not where-then-gather) so a zero-edge graph doesn't fancy-index
+    # an empty array; padding slots read edge 0 and are masked below
+    eidx_c = np.minimum(eidx, max(len(src) - 1, 0))
+    # Padding dst_local = rows_per - 1 (NOT 0): each shard's valid indices
+    # are ascending, and rows_per - 1 >= every valid index, so the per-shard
+    # index stream stays sorted and the segment_sum sortedness hint holds.
+    src_p = np.where(valid, src[eidx_c] if len(src) else 0, 0).astype(np.int32)
     dstl_p = np.where(valid,
-                      dst[eidx_c] - (np.arange(num_shards) * rows_per)[:, None],
-                      0).astype(np.int32)
-    w_p = np.where(valid, w[eidx_c], 0.0).astype(np.float32)
+                      (dst[eidx_c] if len(dst) else 0)
+                      - (np.arange(num_shards) * rows_per)[:, None],
+                      rows_per - 1).astype(np.int32)
+    w_p = np.where(valid, w[eidx_c] if len(w) else 0.0,
+                   0.0).astype(np.float32)
     return ShardedGraph(jnp.asarray(src_p), jnp.asarray(dstl_p),
                         jnp.asarray(w_p), n, int(rows_per), int(num_shards))
 
@@ -96,6 +103,12 @@ def make_sharded_propagate(mesh, graph: ShardedGraph,
     """
     from jax import shard_map
 
+    if mesh.shape[axis] != graph.num_shards:
+        raise ValueError(
+            f"graph was partitioned for {graph.num_shards} shards but mesh "
+            f"axis {axis!r} has {mesh.shape[axis]} devices — rebuild with "
+            f"sharded_graph_from_sp_matrix(mat, {mesh.shape[axis]})")
+
     edge_spec = NamedSharding(mesh, P(axis, None))
     src = jax.device_put(graph.src, edge_spec)
     dstl = jax.device_put(graph.dst_local, edge_spec)
@@ -105,7 +118,12 @@ def make_sharded_propagate(mesh, graph: ShardedGraph,
     def _local(src_s, dstl_s, w_s, x_s):
         # (1, E_s) shards; x_s is this device's (rows_per, D) block
         x_full = jax.lax.all_gather(x_s, axis, axis=0, tiled=True)
-        msgs = x_full[src_s[0]] * w_s[0][:, None]
+        w_col = w_s[0][:, None]
+        msgs = x_full[src_s[0]] * w_col
+        # padding/zero-weight edges must contribute EXACT zeros even if the
+        # gathered row is non-finite (0 * NaN leak) — same edge-removal
+        # semantics as segsum_mxu._run_direction
+        msgs = jnp.where(w_col != 0.0, msgs, jnp.zeros_like(msgs))
         out = jax.ops.segment_sum(msgs, dstl_s[0], num_segments=rows_per,
                                   indices_are_sorted=True)
         return out

@@ -118,3 +118,49 @@ def test_sharded_lightgcn_train_step(mesh):
     assert np.isfinite(float(l_sh))
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
     assert bool(jnp.isfinite(xp2).all())
+
+
+def test_sharded_graph_padding_keeps_indices_sorted():
+    """Padding dst_local entries must keep each shard's index stream sorted
+    (rows_per - 1 fill), or the segment_sum sortedness hint is a lie on TPU."""
+    mat = _random_sparse(100, 0.03, 5)
+    sg = sharded_graph_from_sp_matrix(mat, 4)
+    dstl = np.asarray(sg.dst_local)
+    for s in range(4):
+        assert (np.diff(dstl[s]) >= 0).all(), f"shard {s} indices unsorted"
+
+
+def test_sharded_graph_empty_adjacency():
+    mat = sp.csr_matrix((40, 40), dtype=np.float32)
+    sg = sharded_graph_from_sp_matrix(mat, 4)
+    assert np.asarray(sg.weight).sum() == 0.0
+
+
+def test_mesh_shard_mismatch_raises(mesh):
+    mat = _random_sparse(60, 0.05, 6)
+    sg = sharded_graph_from_sp_matrix(mat, mesh.shape["data"] + 1)
+    with pytest.raises(ValueError, match="partitioned for"):
+        make_sharded_propagate(mesh, sg)
+
+
+def test_sharded_masked_edges_block_nonfinite(mesh):
+    """Zero-weight padding edges contribute exact zeros even when the
+    gathered feature row is non-finite (0 * NaN leak guard, matching the
+    MXU kernel's edge-removal semantics)."""
+    n = 64
+    # one real edge per shard region, so every shard has padding slots
+    rows = np.array([0, 63], np.int64)
+    cols = np.array([1, 2], np.int64)
+    w = np.ones(2, np.float32)
+    mat = sp.coo_matrix((w, (rows, cols)), shape=(n, n)).tocsr()
+    sg = sharded_graph_from_sp_matrix(mat, mesh.shape["data"])
+    prop = make_sharded_propagate(mesh, sg)
+    x = np.ones((n, 4), np.float32)
+    x[0] = np.nan  # padding edges gather row 0 in some shards
+    xp = jax.device_put(pad_rows(jnp.asarray(x), sg),
+                        NamedSharding(mesh, P("data", None)))
+    out = unpad_rows(prop(xp), sg)
+    out = np.asarray(out)
+    assert np.isfinite(out[1:]).all()
+    np.testing.assert_allclose(out[0], 1.0)   # 0 <- 1 edge, finite source
+    np.testing.assert_allclose(out[63], 1.0)  # 63 <- 2 edge

@@ -354,3 +354,11 @@ def test_sgat_mxu_impl_matches_segment(tmp_path, monkeypatch):
     assert np.isfinite(res_mxu["NDCG@10"])
     np.testing.assert_allclose(res_mxu["NDCG@10"], res_seg["NDCG@10"],
                                rtol=2e-3)
+
+
+def test_empty_edge_graph_is_zero_operator():
+    g = mxu_graph_from_coo(np.array([], np.int64), np.array([], np.int64),
+                           np.array([], np.float32), 50, block_k=16,
+                           window=16)
+    out = np.asarray(propagate_mxu(g, jnp.ones((50, 4))))
+    np.testing.assert_array_equal(out, np.zeros((50, 4)))
