@@ -169,7 +169,6 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
                 src, dst, w = state
                 return jax.ops.segment_sum(h[src] * w[:, None], dst,
                                            num_segments=num_users + num_items)
-        self._pruning_random = False  # first pruning epoch uses degree sampling
 
         init = get_initializer("xavier_uniform")
         k_u, k_i = jax.random.split(jax.random.key(run_config.seed))
@@ -219,20 +218,19 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self._finalize_setup(run_config.seed)
         self._final_emb = None
 
-    def _epoch_edges(self, key):
+    def _epoch_edges(self, key, epoch: int):
         if self.config.dropout <= 0.0:
             return self._full_edges()
-        if self._pruning_random:
-            edges = self._pruned_random(key)
-        else:
-            edges = self._pruned_by_degree(key)
-        self._pruning_random = not self._pruning_random
-        return edges
+        # alternation derived from the epoch index (degree-sensitive first,
+        # LayerGCN.py:133-152) so checkpoint resume stays deterministic
+        if epoch % 2 == 1:
+            return self._pruned_random(key)
+        return self._pruned_by_degree(key)
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
         k_prune, k_epoch = jax.random.split(key)
-        edges = self._epoch_edges(k_prune)
+        edges = self._epoch_edges(k_prune, epoch)
         carry = (self.params, self.opt_state, edges)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
             k_epoch, carry, self._train_step)

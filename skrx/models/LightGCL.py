@@ -141,14 +141,19 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
             sum_eu, sum_ei = e_u, e_i
             sum_gu, sum_gi = e_u, e_i
             for _ in range(n_layers):
-                mask = None
+                mask_u = mask_i = None
                 if key is not None and dropout > 0:
-                    key, sub = jax.random.split(key)
-                    keep = jax.random.bernoulli(sub, 1 - dropout, e_w.shape)
-                    mask = keep.astype(jnp.float32) / (1 - dropout)
+                    # two INDEPENDENT masks: the reference draws
+                    # sparse_dropout separately for Z_u and Z_i
+                    # (LightGCL.py:119-120)
+                    key, s_u, s_i = jax.random.split(key, 3)
+                    keep_u = jax.random.bernoulli(s_u, 1 - dropout, e_w.shape)
+                    keep_i = jax.random.bernoulli(s_i, 1 - dropout, e_w.shape)
+                    mask_u = keep_u.astype(jnp.float32) / (1 - dropout)
+                    mask_i = keep_i.astype(jnp.float32) / (1 - dropout)
                 g_u = u_mul_s @ (vt @ e_i)
                 g_i = v_mul_s @ (ut @ e_u)
-                e_u, e_i = prop_u(e_i, mask), prop_i(e_u, mask)
+                e_u, e_i = prop_u(e_i, mask_u), prop_i(e_u, mask_i)
                 sum_eu, sum_ei = sum_eu + e_u, sum_ei + e_i
                 sum_gu, sum_gi = sum_gu + g_u, sum_gi + g_i
             return sum_eu, sum_ei, sum_gu, sum_gi
@@ -201,18 +206,28 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
             return E_u, E_i
 
         self._embeddings_fn = embeddings_fn
+        self._final = None
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        carry = (self.params, self.opt_state, key)
+        # independent streams: the pipeline consumes k_epoch for shuffling/
+        # negatives; the carry key drives in-step dropout
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
+    def evaluate(self, test_users=None):
+        self._final = self._embeddings_fn(self.params)
+        return super().evaluate(test_users)
+
     def predict(self, users) -> jnp.ndarray:
-        E_u, E_i = self._embeddings_fn(self.params)
+        E_u, E_i = self._chunk_embeddings()
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return E_u[users] @ E_i.T
 
     def _chunk_embeddings(self):
-        return self._embeddings_fn(self.params)
+        if getattr(self, "_final", None) is None:
+            self._final = self._embeddings_fn(self.params)
+        return self._final

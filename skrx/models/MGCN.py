@@ -15,7 +15,7 @@ common)/3; final = content + side; mean BPR + reg*L2/batch + cl_loss *
 content_users | users)) at temperature 0.5... 0.2 per the call site; Adam.
 """
 import os
-from typing import Dict
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import optax
 import scipy.sparse as sp
 
 from ..ops import get_initializer
-from ..ops.mm_graph import cosine_knn
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
@@ -42,6 +41,7 @@ class MGCNConfig(ModelConfig):
     lambda_coeff: float = 0.9
     knn_k: int = 10
     cl_loss: float = 0.001
+    lr_scheduler: Optional[List[float]] = None   # default [0.96, 50]
     graph_impl: str = "auto"  # auto | segment | mxu (see models/common.py)
     batch_size: int = 2048
     epochs: int = 1000
@@ -55,6 +55,9 @@ class MGCNConfig(ModelConfig):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.reg, float) and self.reg >= 0
         assert isinstance(self.embed_dim, int) and self.embed_dim > 0
+        if self.lr_scheduler is None:
+            self.lr_scheduler = [0.96, 50]
+        assert isinstance(self.lr_scheduler, list) and len(self.lr_scheduler) == 2
         assert isinstance(self.knn_k, int) and self.knn_k > 0
         from .common import GRAPH_IMPLS
         assert self.graph_impl in GRAPH_IMPLS
@@ -67,7 +70,12 @@ def _weighted_knn_edges(features: np.ndarray, k: int):
     n = features.shape[0]
     norm = features / (np.linalg.norm(features, axis=-1, keepdims=True) + 1e-12)
     sim = norm @ norm.T
-    knn = cosine_knn(features, k)
+    # top-k from the already-materialized similarity (argpartition + exact
+    # order), instead of cosine_knn recomputing the dense N x N matrix
+    part = np.argpartition(-sim, kth=min(k, n - 1), axis=-1)[:, :k]
+    rr = np.arange(n)[:, None]
+    order = np.argsort(-sim[rr, part], axis=-1)
+    knn = part[rr, order].astype(np.int32)
     rows = np.repeat(np.arange(n, dtype=np.int32), k)
     cols = knn.reshape(-1)
     vals = sim[rows, cols].astype(np.float64)
@@ -157,9 +165,19 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             "gate_image_prefer": lin(keys[8], d, d),
             "gate_text_prefer": lin(keys[9], d, d),
         }
-        self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
                                               cfg.batch_size, num_neg=1)
+        # per-epoch LambdaLR parity: lr * rate ** (epoch / period)
+        # (reference MGCN.py:372-375, stepped each epoch at :397); expressed
+        # as a step schedule so it checkpoints inside opt_state
+        rate, period = cfg.lr_scheduler
+        spe = self.pipeline.num_batches
+        lr0 = cfg.lr
+
+        def _lr(step):
+            return lr0 * rate ** ((step // spe) / period)
+
+        self.optimizer = optax.adam(learning_rate=_lr)
         n_ui, n_mm, reg_w, cl_w = (cfg.n_ui_layers, cfg.n_layers, cfg.reg,
                                    cfg.cl_loss)
         adj_src, adj_dst, adj_w = self._adj
@@ -273,9 +291,13 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             v1 = v1 / (jnp.linalg.norm(v1, axis=1, keepdims=True) + 1e-12)
             v2 = v2 / (jnp.linalg.norm(v2, axis=1, keepdims=True) + 1e-12)
             pos = jnp.exp(jnp.sum(v1 * v2, -1) / temp)
-            ttl = jnp.sum(jnp.exp(v1 @ v2.T / temp), axis=1)
+            # zero-weight padding rows (partial final batch) are excluded
+            # from every row's denominator — the reference's exact partial
+            # batches never contain them
+            ttl = jnp.sum(jnp.exp(v1 @ v2.T / temp) * w_b[None, :], axis=1)
             n_valid = jnp.maximum(jnp.sum(w_b), 1.0)
-            return jnp.sum(-jnp.log(pos / ttl) * w_b) / n_valid
+            return jnp.sum(-jnp.log(pos / jnp.maximum(ttl, 1e-12)) * w_b) \
+                / n_valid
 
         def loss_fn(p, batch):
             users, pos, neg, w_b = batch
@@ -287,7 +309,7 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             n_valid = jnp.maximum(jnp.sum(w_b), 1.0)
             mf = -jnp.sum(jax.nn.log_sigmoid(y_pos - y_neg) * w_b) / n_valid
             reg = 0.5 * jnp.sum(jnp.sum(ue ** 2 + pe ** 2 + ne ** 2, -1) * w_b) \
-                / users.shape[0]
+                / n_valid
             side_u, side_i = side[:num_users], side[num_users:]
             cont_u, cont_i = content[:num_users], content[num_users:]
             cl = info_nce(side_i[pos], cont_i[pos], 0.2, w_b) \

@@ -169,6 +169,16 @@ class MultVAE(JaxRecommender):
 
         self._predict_fn = predict_fn
 
+    def _train_state(self):
+        state = super()._train_state()
+        state["update_count"] = self._update_count  # KL anneal progress
+        return state
+
+    def _load_train_state(self, state) -> None:
+        super()._load_train_state(state)
+        if "update_count" in state:
+            self._update_count = state["update_count"]
+
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
         carry = (self.params, self.opt_state, self._update_count)

@@ -107,6 +107,17 @@ class JaxRecommender(AbstractRecommender):
         if "opt_state" in state:
             self.opt_state = state["opt_state"]
 
+    # conventional derived-prediction caches (propagated embeddings, user
+    # vectors); cleared after every training epoch so predict() never serves
+    # stale state (e.g. fit() aborting on non-finite loss before evaluate())
+    _PREDICT_CACHE_ATTRS = ("_final", "_final_emb", "_final_items",
+                            "_uv_cache")
+
+    def _invalidate_predict_cache(self) -> None:
+        for attr in self._PREDICT_CACHE_ATTRS:
+            if getattr(self, attr, None) is not None:
+                setattr(self, attr, None)
+
     def fit(self) -> MetricReport:
         self.logger.info("metrics:".ljust(12) + f"\t{self.evaluator.metrics_str}")
         # universal scan-chunking knob (see pipeline.max_scan_steps)
@@ -134,6 +145,7 @@ class JaxRecommender(AbstractRecommender):
                 import jax
                 jax.profiler.start_trace(profile_dir)
             loss = self._train_epoch(epoch)
+            self._invalidate_predict_cache()
             if loss is not None and not np.isfinite(loss):
                 # failure detection: divergence aborts cleanly with the best
                 # checkpointed/early-stopped result instead of burning epochs

@@ -92,3 +92,24 @@ def test_checkpoint_resume_lazy_adam_fpmc(data_dir, tmp_path, monkeypatch):
     for k in full_params:
         np.testing.assert_allclose(resumed[k], full_params[k], rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_multvae_resume_restores_anneal_counter(data_dir, tmp_path,
+                                                monkeypatch):
+    """The KL-anneal update counter rides in the checkpoint: a resumed run
+    continues annealing where the interrupted run stopped."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.MultVAE import MultVAE
+    params = dict(lr=0.01, p_dims=[8], batch_size=64, epochs=4, early_stop=10,
+                  anneal_steps=100, anneal_cap=0.5)
+    ckpt = str(tmp_path / "ckpt_vae")
+    m1 = MultVAE(_cfg(data_dir, ckpt, recommender="MultVAE",
+                      **{}), dict(params, epochs=2))
+    m1.fit()
+    count_at_stop = float(m1._update_count)
+    assert count_at_stop > 0
+    m2 = MultVAE(_cfg(data_dir, ckpt, recommender="MultVAE", resume=True),
+                 params)
+    assert float(m2._update_count) == 0.0
+    m2.fit()
+    assert float(m2._update_count) > count_at_stop
