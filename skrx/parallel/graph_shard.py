@@ -92,16 +92,65 @@ def unpad_rows(x: jnp.ndarray, graph: ShardedGraph) -> jnp.ndarray:
     return x[:graph.num_nodes]
 
 
+def _stacked_shard_metas(src, dst, w, num_shards, rows_per, block_k,
+                         window):
+    """Per-shard MXU chunk metadata (shard-local dst), padded to a uniform
+    chunk count and stacked with a leading shard dim."""
+    from ..ops.pallas.segsum_mxu import chunk_sorted_coo
+
+    metas = []
+    for s in range(num_shards):
+        lo = s * rows_per
+        m = (dst >= lo) & (dst < lo + rows_per)
+        s_src, s_dst, s_w = src[m], dst[m] - lo, w[m]
+        order = np.argsort(s_dst, kind="stable")  # chunker needs sorted dst
+        ids = np.zeros(len(order), np.int64)      # edge ids unused (no masks)
+        metas.append(chunk_sorted_coo(s_src[order], s_dst[order], s_w[order],
+                                      ids, rows_per, block_k, window))
+    c_max = max(meta.block_idx.shape[0] for meta in metas)
+
+    def pad_stack(field, fill_last=False):
+        outs = []
+        for meta in metas:
+            a = np.asarray(getattr(meta, field))
+            c = meta.block_idx.shape[0]
+            if field == "block_idx":
+                pad = np.full(c_max - c, a[-1], a.dtype)
+                outs.append(np.concatenate([a, pad]))
+            else:
+                per = a.shape[0] // c
+                pad_shape = ((c_max - c) * per,) + a.shape[1:]
+                outs.append(np.concatenate([a, np.zeros(pad_shape, a.dtype)]))
+        return jnp.asarray(np.stack(outs))
+
+    return (pad_stack("src_pad"), pad_stack("ldst_pad"), pad_stack("w_pad"),
+            pad_stack("block_idx"), metas[0].num_windows)
+
+
 def make_sharded_propagate(mesh, graph: ShardedGraph,
-                           axis: str = DATA_AXIS):
+                           axis: str = DATA_AXIS,
+                           local_impl: str = "segment",
+                           block_k: int = 512, window: int = 128,
+                           sp_matrix: "sp.spmatrix" = None):
     """Build ``prop(x_padded) -> A @ x`` over ``mesh`` with node rows and
     edge shards split on ``axis``. Input/output are (padded_nodes, D) arrays
     row-sharded on ``axis``; call inside or outside jit.
+
+    ``local_impl="mxu"`` runs each device's shard-local reduction through
+    the Pallas MXU scatter kernel (skrx/ops/pallas/segsum_mxu.py) instead of
+    the XLA segment-sum — the production TPU configuration; requires the
+    original ``sp_matrix`` to build per-shard chunk metadata (the backward
+    runs the same kernel over the transpose's shard partition via a
+    custom_vjp, since pallas_call has no automatic AD).
 
     Each call places the edge shards once (device_put with the right
     sharding); the returned closure is differentiable in ``x``.
     """
     from jax import shard_map
+
+    if local_impl == "mxu":
+        return _make_sharded_propagate_mxu(mesh, graph, axis, block_k,
+                                           window, sp_matrix)
 
     if mesh.shape[axis] != graph.num_shards:
         raise ValueError(
@@ -135,4 +184,62 @@ def make_sharded_propagate(mesh, graph: ShardedGraph,
                       out_specs=P(axis, None), check_vma=False)
         return f(src, dstl, w, x_padded)
 
+    return prop
+
+
+def _make_sharded_propagate_mxu(mesh, graph: ShardedGraph, axis, block_k,
+                                window, mat):
+    from jax import shard_map
+    from ..ops.pallas.segsum_mxu import ChunkMeta, _run_direction
+
+    if mat is None:
+        raise ValueError("local_impl='mxu' needs sp_matrix= to build chunk "
+                         "metadata")
+    if mesh.shape[axis] != graph.num_shards:
+        raise ValueError(
+            f"graph was partitioned for {graph.num_shards} shards but mesh "
+            f"axis {axis!r} has {mesh.shape[axis]} devices")
+    coo = sp.coo_matrix(sp.csr_matrix(mat))
+    S, rows_per = graph.num_shards, graph.rows_per_shard
+    src, dst = coo.col.astype(np.int64), coo.row.astype(np.int64)
+    w = coo.data.astype(np.float32)
+    fwd = _stacked_shard_metas(src, dst, w, S, rows_per, block_k, window)
+    bwd = _stacked_shard_metas(dst, src, w, S, rows_per, block_k, window)
+    edge_spec = NamedSharding(mesh, P(axis, None))
+    edge_spec3 = NamedSharding(mesh, P(axis, None, None))
+
+    def place(stack):
+        s0, l0, w0, b0, nw = stack
+        return (jax.device_put(s0, edge_spec), jax.device_put(l0, edge_spec3),
+                jax.device_put(w0, edge_spec), jax.device_put(b0, edge_spec),
+                nw)
+
+    fwd, bwd = place(fwd), place(bwd)
+
+    def run(stack, xp):
+        s0, l0, w0, b0, nw = stack
+
+        def _local(src_s, ldst_s, w_s, blk_s, x_s):
+            x_full = jax.lax.all_gather(x_s, axis, axis=0, tiled=True)
+            meta = ChunkMeta(src_s[0], ldst_s[0], w_s[0], src_s[0], blk_s[0],
+                             rows_per, nw, block_k, window)
+            return _run_direction(meta, x_full, jnp.float32, None)
+
+        f = shard_map(_local, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None, None),
+                                P(axis, None), P(axis, None), P(axis, None)),
+                      out_specs=P(axis, None), check_vma=False)
+        return f(s0, l0, w0, b0, xp)
+
+    @jax.custom_vjp
+    def prop(xp):
+        return run(fwd, xp)
+
+    def prop_fwd(xp):
+        return prop(xp), None
+
+    def prop_bwd(_, g):
+        return (run(bwd, g),)
+
+    prop.defvjp(prop_fwd, prop_bwd)
     return prop
