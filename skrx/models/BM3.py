@@ -97,7 +97,7 @@ class BM3(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = InteractionEpochPipeline(self.dataset.train_data,
-                                                 cfg.batch_size)
+                                                 cfg.batch_size, mesh=self.mesh)
         n_layers, dropout = cfg.n_layers, cfg.dropout
         reg_w, cl_w = cfg.reg, cfg.cl_weight
 

@@ -72,7 +72,7 @@ class BPRMF(JaxRecommender):
         self.optimizer = optax.adam(cfg.lr)
         self.opt_state = self.optimizer.init(self.params)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         self._rng = jax.random.key(run_config.seed + 1)
 
         reg = cfg.reg

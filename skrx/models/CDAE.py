@@ -79,7 +79,7 @@ class CDAE(JaxRecommender):
         self.optimizer = optax.adam(cfg.lr)
         self.opt_state = self.optimizer.init(self.params)
         self.pipeline = UserVecEpochPipeline(self.dataset.train_data,
-                                             cfg.batch_size)
+                                             cfg.batch_size, mesh=self.mesh)
         self._rng = jax.random.key(run_config.seed + 1)
 
         pp = self.dataset.train_data.to_padded_positive_table()

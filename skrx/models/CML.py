@@ -71,7 +71,7 @@ class CML(EpochTrainedRecommender):
         }
         self.optimizer = optax.adagrad(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=cfg.dns)
+                                              cfg.batch_size, num_neg=cfg.dns, mesh=self.mesh)
         margin, reg, clip_norm, d = (cfg.margin, cfg.reg, cfg.clip_norm,
                                      cfg.embed_size)
 

@@ -82,7 +82,7 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
         self.optimizer = adam_l2(cfg.lr, cfg.l2_reg)
         self.pipeline = SequentialPairwiseEpochPipeline(
             self.dataset.train_data, cfg.batch_size, num_previous=L,
-            num_next=cfg.seq_T, pad=self.pad_idx)
+            num_next=cfg.seq_T, pad=self.pad_idx, mesh=self.mesh)
 
         pad_idx, dropout, seq_T = self.pad_idx, cfg.dropout, cfg.seq_T
         nv, nh = cfg.nv, cfg.nh

@@ -101,7 +101,7 @@ class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(
             self.dataset.train_data, cfg.batch_size,
-            num_neg=cfg.K * cfg.n_negs)
+            num_neg=cfg.K * cfg.n_negs, mesh=self.mesh)
 
         hops, K, n_negs, ns, pool = (cfg.context_hops, cfg.K, cfg.n_negs,
                                      cfg.ns, cfg.pool)

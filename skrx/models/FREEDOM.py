@@ -197,7 +197,7 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         n_mm, n_ui, reg_w = cfg.n_mm_layers, cfg.n_ui_layers, cfg.reg
 
         def forward(p, prop_state):

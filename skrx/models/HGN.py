@@ -73,7 +73,7 @@ class HGN(CachedUserVecChunkMixin, EpochTrainedRecommender):
         self.optimizer = adam_l2(cfg.lr, cfg.reg)
         self.pipeline = SequentialPairwiseEpochPipeline(
             self.dataset.train_data, cfg.batch_size, num_previous=L,
-            num_next=cfg.seq_T, pad=self.pad_idx)
+            num_next=cfg.seq_T, pad=self.pad_idx, mesh=self.mesh)
         pad_idx, seq_T = self.pad_idx, cfg.seq_T
 
         def pad_masked(table):

@@ -161,7 +161,7 @@ class LATTICE(EpochTrainedRecommender):
 
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         lam, n_layers, cf_model = cfg.lambda_coeff, cfg.n_layers, cfg.cf_model
         n_ui_layers = len(cfg.weight_size)
         mess_dropout = cfg.mess_dropout

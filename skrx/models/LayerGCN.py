@@ -176,7 +176,7 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
                        "item_emb": init(k_i, (num_items, cfg.embed_dim))}
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         n_layers, reg = cfg.n_layers, cfg.reg
 
         def forward(p, prop_state):

@@ -98,7 +98,7 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
                        "E_i_0": init(k_i, (self.num_items, cfg.d))}
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         n_layers, temp = cfg.gnn_layer, cfg.temp
         lambda1, lambda2, dropout = cfg.lambda1, cfg.lambda2, cfg.dropout
         num_users, num_items = self.num_users, self.num_items

@@ -95,7 +95,7 @@ class LightGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         }
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         n_layers, reg, batch_size = cfg.n_layers, cfg.reg, cfg.batch_size
         num_users = self.num_users
         graph = self.graph

@@ -166,7 +166,7 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             "gate_text_prefer": lin(keys[9], d, d),
         }
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
-                                              cfg.batch_size, num_neg=1)
+                                              cfg.batch_size, num_neg=1, mesh=self.mesh)
         # per-epoch LambdaLR parity: lr * rate ** (epoch / period)
         # (reference MGCN.py:372-375, stepped each epoch at :397); expressed
         # as a step schedule so it checkpoints inside opt_state

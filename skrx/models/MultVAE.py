@@ -99,7 +99,7 @@ class MultVAE(JaxRecommender):
         self.optimizer = optax.adam(cfg.lr)
         self.opt_state = self.optimizer.init(self.params)
         self.pipeline = UserVecEpochPipeline(self.dataset.train_data,
-                                             cfg.batch_size)
+                                             cfg.batch_size, mesh=self.mesh)
         self._rng = jax.random.key(run_config.seed + 1)
 
         keep_prob = cfg.keep_prob

@@ -116,7 +116,7 @@ class SGAT(CachedUserVecChunkMixin, EpochTrainedRecommender):
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = SequentialPairwiseEpochPipeline(
             self.dataset.train_data, cfg.batch_size, num_previous=cfg.n_seqs,
-            num_next=cfg.n_next, pad=num_items)
+            num_next=cfg.n_next, pad=num_items, mesh=self.mesh)
         n_layers, n_next, reg = cfg.n_layers, cfg.n_next, cfg.reg
         pad_id = num_items
 

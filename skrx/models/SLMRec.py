@@ -152,7 +152,7 @@ class SLMRec(EpochTrainedRecommender):
 
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = InteractionEpochPipeline(self.dataset.train_data,
-                                                 cfg.batch_size)
+                                                 cfg.batch_size, mesh=self.mesh)
         n_layers, temp, ssl_temp = cfg.layer_num, cfg.temp, cfg.ssl_temp
         ssl_alpha, ssl_task = cfg.ssl_alpha, cfg.ssl_task
         drop_rate = cfg.dropout_rate

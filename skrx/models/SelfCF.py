@@ -91,7 +91,7 @@ class SelfCF(EpochTrainedRecommender):
         }
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = InteractionEpochPipeline(self.dataset.train_data,
-                                                 cfg.batch_size)
+                                                 cfg.batch_size, mesh=self.mesh)
         n_layers, dropout, reg = cfg.n_layers, cfg.dropout, cfg.reg
         num_users = self.num_users
         num_edges = adj.nnz

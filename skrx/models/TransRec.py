@@ -64,7 +64,7 @@ class TransRec(EpochTrainedRecommender):
         }
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = SequentialPairwiseEpochPipeline(
-            self.dataset.train_data, cfg.batch_size, num_previous=1, num_next=1)
+            self.dataset.train_data, cfg.batch_size, num_previous=1, num_next=1, mesh=self.mesh)
         reg = cfg.reg
 
         def loss_fn(p, batch):

@@ -39,6 +39,21 @@ def pad_to_batches(arr: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.nda
     return np.concatenate([arr, pad], axis=0), weights
 
 
+def _shard_batches(mesh, batch_data):
+    """Constrain (nb, B, ...) epoch batches to be sharded over the mesh's
+    first axis along the batch dim (data parallelism)."""
+    if mesh is None:
+        return batch_data
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+
+    def shard(x):
+        spec = P(None, axis, *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return tuple(shard(x) for x in batch_data)
+
+
 class PairwiseEpochPipeline:
     """(user, pos_item, neg_items, weight) batches for BPR-style models.
 
@@ -109,17 +124,7 @@ class PairwiseEpochPipeline:
                       pos.reshape((nb, b) + pos.shape[1:]),
                       neg.reshape(nb, b, self.num_neg), w.reshape(nb, b),
                       *(e.reshape((nb, b) + e.shape[1:]) for e in extra))
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            axis = self.mesh.axis_names[0]
-
-            def shard(x):
-                spec = P(None, axis, *([None] * (x.ndim - 2)))
-                return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(self.mesh, spec))
-
-            batch_data = tuple(shard(x) for x in batch_data)
-        return batch_data
+        return _shard_batches(self.mesh, batch_data)
 
     def _epoch_impl(self, train_step, key, carry, users, pos, w, pos_table,
                     *extra):
@@ -183,7 +188,7 @@ class SequentialPairwiseEpochPipeline(PairwiseEpochPipeline):
 
     def __init__(self, train_data: ImplicitFeedback, batch_size: int,
                  num_previous: int = 1, num_next: int = 1,
-                 pad: Optional[int] = None, num_trials: int = 8):
+                 pad: Optional[int] = None, num_trials: int = 8, mesh=None):
         from ..io.data_iterator import _generate_time_order_positive_items
 
         user_pos_dict = train_data.to_user_dict_by_time()
@@ -196,6 +201,7 @@ class SequentialPairwiseEpochPipeline(PairwiseEpochPipeline):
         self.num_trials = num_trials
         self.batch_size = batch_size
 
+        self.mesh = mesh
         pos = next_items if num_next > 1 else next_items[:, 0]
         users_p, self._weights = pad_to_batches(users, batch_size)
         pos_p, _ = pad_to_batches(pos, batch_size)
@@ -217,10 +223,11 @@ class InteractionEpochPipeline:
     max_scan_steps: Optional[int] = None
 
     def __init__(self, train_data: ImplicitFeedback, batch_size: int,
-                 max_scan_steps: Optional[int] = None):
+                 max_scan_steps: Optional[int] = None, mesh=None):
         pairs = train_data.to_user_item_pairs()
         self.batch_size = batch_size
         self.max_scan_steps = max_scan_steps
+        self.mesh = mesh
         users, self._weights = pad_to_batches(pairs[:, 0], batch_size)
         pos, _ = pad_to_batches(pairs[:, 1], batch_size)
         self.num_batches = len(users) // batch_size
@@ -244,7 +251,9 @@ class InteractionEpochPipeline:
         perm = jax.random.permutation(key, users.shape[0])
         users, pos, w = users[perm], pos[perm], w[perm]
         nb, b = self.num_batches, self.batch_size
-        return (users.reshape(nb, b), pos.reshape(nb, b), w.reshape(nb, b))
+        return _shard_batches(self.mesh,
+                              (users.reshape(nb, b), pos.reshape(nb, b),
+                               w.reshape(nb, b)))
 
     def _epoch_impl(self, train_step, key, carry, users, pos, w):
         batch_data = self._prepare_batches(key, users, pos, w)
@@ -297,8 +306,10 @@ class UserVecEpochPipeline:
     O(U*maxPos + B*N) instead of O(U*N) (at ML-20M scale that is the
     difference between ~200 MB and ~15 GB of HBM)."""
 
-    def __init__(self, train_data: ImplicitFeedback, batch_size: int):
+    def __init__(self, train_data: ImplicitFeedback, batch_size: int,
+                 mesh=None):
         self.batch_size = batch_size
+        self.mesh = mesh
         self.num_items = train_data.num_items
         pp = train_data.to_padded_positive_table()
         users = np.nonzero(pp.lengths > 0)[0].astype(np.int32)
@@ -333,7 +344,8 @@ class UserVecEpochPipeline:
         users, w = users[perm], w[perm]
         nb, b = self.num_batches, self.batch_size
         step_keys = jax.random.split(k_step, nb)
-        batch_data = (users.reshape(nb, b), w.reshape(nb, b), step_keys)
+        batch_data = _shard_batches(
+            self.mesh, (users.reshape(nb, b), w.reshape(nb, b))) + (step_keys,)
         n = self.num_items
 
         def body(c, batch):
