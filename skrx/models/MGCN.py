@@ -13,6 +13,8 @@ net), preference gates for the separate parts, side = (sep_v + sep_t +
 common)/3; final = content + side; mean BPR + reg*L2/batch + cl_loss *
 (InfoNCE(side_items, content_items | pos) + InfoNCE(side_users,
 content_users | users)) at temperature 0.5... 0.2 per the call site; Adam.
+
+Includes the reference's per-epoch LambdaLR decay (lr * 0.96^(epoch/50), MGCN.py:372-397) as a step schedule inside opt_state. Deviation: padded rows of the final partial batch are excluded from the InfoNCE denominators (the reference's exact partial batches never contain them).
 """
 import os
 from typing import Dict, List, Optional
