@@ -37,6 +37,10 @@ class CaserConfig(ModelConfig):
     nv: int = 4
     nh: int = 16
     dropout: float = 0.5
+    # "adam" (dense adam_l2, reference parity) or "lazy_adam" (row-wise
+    # sparse moments for the embedding/W2 tables; conv/FC leaves stay
+    # dense; weight decay on touched rows only — skrx/ops/optim.py)
+    optimizer: str = "adam"
     batch_size: int = 1024
     epochs: int = 500
     early_stop: int = 100
@@ -44,6 +48,7 @@ class CaserConfig(ModelConfig):
     def _validate(self):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.l2_reg, float) and self.l2_reg >= 0
+        assert self.optimizer in ("adam", "lazy_adam")
         assert isinstance(self.embed_size, int) and self.embed_size > 0
         assert isinstance(self.seq_L, int) and self.seq_L > 0
         assert isinstance(self.seq_T, int) and self.seq_T > 0
@@ -144,8 +149,61 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
 
-        self._step_with_key = train_step
-        self.opt_state = self.optimizer.init(self.params)
+        if cfg.optimizer == "lazy_adam":
+            from ..ops.optim import make_lazy_train_step
+            T_ = seq_T
+
+            def gathered_loss(gathered, dense, batch, key):
+                users, pos, neg, w, seqs = batch
+                ue, item_g, w2_g, b2_g = gathered
+                b = users.shape[0]
+                items = jnp.concatenate([pos, neg], axis=1)     # (B, 2T)
+                item_embs = jnp.where((seqs == pad_idx)[..., None], 0.0,
+                                      item_g.reshape(b, L, -1))
+                w2 = jnp.where((items == pad_idx)[..., None], 0.0,
+                               w2_g.reshape(b, 2 * T_, -1))
+                b2 = jnp.where(items == pad_idx, 0.0,
+                               b2_g.reshape(b, 2 * T_))
+                out_v = jnp.einsum("bld,lkv->bvd", item_embs,
+                                   dense["conv_v"]) \
+                    + dense["conv_v_b"][None, :, None]
+                out_v = out_v.reshape(b, nv * item_embs.shape[-1])
+                outs = []
+                for i in range(L):
+                    k = dense["conv_h"][i]
+                    h = i + 1
+                    windows = jnp.stack([item_embs[:, j: j + h, :]
+                                         for j in range(L - h + 1)], axis=1)
+                    conv = jnp.einsum("bwhd,hdn->bwn", windows, k) \
+                        + dense["conv_h_b"][i]
+                    outs.append(jnp.max(jax.nn.relu(conv), axis=1))
+                out = jnp.concatenate([out_v] + outs, axis=1)
+                if dropout > 0:
+                    keep = jax.random.bernoulli(key, 1 - dropout, out.shape)
+                    out = jnp.where(keep, out / (1 - dropout), 0.0)
+                z = jax.nn.relu(out @ dense["fc1_w"] + dense["fc1_b"])
+                x = jnp.concatenate([z, ue], axis=1)
+                scores = jnp.einsum("btd,bd->bt", w2, x) + b2
+                y_pos, y_neg = scores[:, :T_], scores[:, T_:]
+                loss = (sigmoid_cross_entropy(y_pos, jnp.ones_like(y_pos))
+                        + sigmoid_cross_entropy(y_neg,
+                                                jnp.zeros_like(y_neg)))
+                return jnp.sum(jnp.mean(loss, axis=1) * w) / jnp.maximum(
+                    jnp.sum(w), 1.0)
+
+            def item_rows(b):
+                return jnp.concatenate([b[1], b[2]], axis=1).reshape(-1)
+
+            gathers = [("user_emb", lambda b: b[0]),
+                       ("item_emb", lambda b: b[4].reshape(-1)),
+                       ("W2", item_rows),
+                       ("b2", item_rows)]
+            self._step_with_key, self.opt_state = make_lazy_train_step(
+                cfg.lr, gathers, gathered_loss, self.params,
+                weight_decay=cfg.l2_reg, with_key=True)
+        else:
+            self._step_with_key = train_step
+            self.opt_state = self.optimizer.init(self.params)
         self._rng = jax.random.key(run_config.seed + 1)
 
         seq_table, _ = self.dataset.train_data.to_padded_seq_tensor(

@@ -33,6 +33,10 @@ class HGNConfig(ModelConfig):
     seq_L: int = 5
     seq_T: int = 3
     embed_size: int = 64
+    # "adam" (dense adam_l2, reference parity) or "lazy_adam" (row-wise
+    # sparse moments; weight decay applies to touched rows only —
+    # SparseAdam-style deviation, skrx/ops/optim.py)
+    optimizer: str = "adam"
     batch_size: int = 1024
     epochs: int = 1000
     early_stop: int = 100
@@ -40,6 +44,7 @@ class HGNConfig(ModelConfig):
     def _validate(self):
         assert isinstance(self.lr, float) and self.lr > 0
         assert isinstance(self.reg, float) and self.reg >= 0
+        assert self.optimizer in ("adam", "lazy_adam")
         assert isinstance(self.seq_L, int) and self.seq_L > 0
         assert isinstance(self.seq_T, int) and self.seq_T > 0
         assert isinstance(self.embed_size, int) and self.embed_size > 0
@@ -110,15 +115,59 @@ class HGN(CachedUserVecChunkMixin, EpochTrainedRecommender):
             y_pos, y_neg = scores[:, :seq_T], scores[:, seq_T:]
             return jnp.sum(jnp.sum(bpr_loss(y_pos, y_neg), axis=1) * w)
 
-        def train_step(carry, batch):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+        if cfg.optimizer == "lazy_adam":
+            from ..ops.optim import make_lazy_train_step
+            L_, T_ = L, seq_T
 
-        self._train_step = train_step
-        self._finalize_setup(run_config.seed)
+            def gathered_loss(gathered, dense, batch):
+                users, pos, neg, w, seqs = batch
+                ue, item_g, w2_g, b2_g = gathered
+                b = users.shape[0]
+                items = jnp.concatenate([pos, neg], axis=1)     # (B, 2T)
+                item_embs = jnp.where((seqs == pad_idx)[..., None], 0.0,
+                                      item_g.reshape(b, L_, -1))
+                w2 = jnp.where((items == pad_idx)[..., None], 0.0,
+                               w2_g.reshape(b, 2 * T_, -1))
+                b2 = jnp.where(items == pad_idx, 0.0,
+                               b2_g.reshape(b, 2 * T_))
+                gate = jax.nn.sigmoid(
+                    item_embs @ dense["fg_item_w"] + dense["fg_item_b"]
+                    + (ue @ dense["fg_user_w"]
+                       + dense["fg_user_b"])[:, None, :])
+                gated = item_embs * gate
+                term1 = (gated @ dense["ig_item"])[..., 0]
+                term2 = ue @ dense["ig_user"]
+                inst = jax.nn.sigmoid(term1 + term2)
+                union = jnp.sum(gated * inst[..., None], axis=1) \
+                    / jnp.sum(inst, axis=1, keepdims=True)
+                res = jnp.einsum("btd,bd->bt", w2, ue) + b2
+                res += jnp.einsum("btd,bd->bt", w2, union)
+                res += jnp.einsum("bld,btd->bt", item_embs, w2)
+                y_pos, y_neg = res[:, :T_], res[:, T_:]
+                return jnp.sum(jnp.sum(bpr_loss(y_pos, y_neg), axis=1) * w)
+
+            def item_rows(b):
+                return jnp.concatenate([b[1], b[2]], axis=1).reshape(-1)
+
+            gathers = [("user_emb", lambda b: b[0]),
+                       ("item_emb", lambda b: b[4].reshape(-1)),
+                       ("W2", item_rows),
+                       ("b2", item_rows)]
+            self._train_step, self.opt_state = make_lazy_train_step(
+                cfg.lr, gathers, gathered_loss, self.params,
+                weight_decay=cfg.reg)
+            self._rng = jax.random.key(run_config.seed + 1)
+        else:
+            def train_step(carry, batch):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            self._train_step = train_step
+            self._finalize_setup(run_config.seed)
 
         seq_table, _ = self.dataset.train_data.to_padded_seq_tensor(
             L, pad_value=self.pad_idx)

@@ -67,15 +67,24 @@ def dedup_rows(rows: jnp.ndarray, grads: jnp.ndarray,
 def lazy_adam_row_update(state: LazyAdamState, table: jnp.ndarray,
                          rows: jnp.ndarray, grads: jnp.ndarray,
                          lr: float, b1: float = 0.9, b2: float = 0.999,
-                         eps: float = 1e-8
+                         eps: float = 1e-8, weight_decay: float = 0.0
                          ) -> Tuple[LazyAdamState, jnp.ndarray]:
     """Apply one Adam step to the given rows only.
 
     rows: (K,) int32, entries may repeat or equal table.shape[0] (dropped).
     grads: (K, D) matching table's trailing dims (or (K,) for 1-D tables).
+    ``weight_decay`` adds wd * row to the summed gradient of each TOUCHED
+    row (adam_l2 / add_decayed_weights semantics restricted to touched rows
+    — the SparseAdam-style deviation: untouched rows do not decay).
     """
     drop = table.shape[0]
     rows_u, g = dedup_rows(rows, grads, drop)
+    if weight_decay:
+        safe0 = jnp.minimum(rows_u, drop - 1)
+        dec = weight_decay * table[safe0]
+        ok = (rows_u < drop)
+        g = g + jnp.where(ok[:, None] if g.ndim == 2 else ok, dec,
+                          jnp.zeros_like(dec))
     safe = jnp.minimum(rows_u, drop - 1)
     valid = (rows_u < drop)[:, None] if g.ndim == 2 else (rows_u < drop)
 
@@ -102,7 +111,8 @@ def lazy_adam_row_update(state: LazyAdamState, table: jnp.ndarray,
     return LazyAdamState(m, v, counts), table
 
 
-def make_lazy_train_step(lr: float, gathers, loss_fn, params):
+def make_lazy_train_step(lr: float, gathers, loss_fn, params,
+                         weight_decay: float = 0.0, with_key: bool = False):
     """Generic train step with row-wise lazy Adam on embedding tables.
 
     The loss must be expressed over GATHERED rows so the backward never
@@ -121,27 +131,42 @@ def make_lazy_train_step(lr: float, gathers, loss_fn, params):
 
     Returns ``(train_step, opt_state)`` with the usual
     ``(params, opt_state), loss = train_step((params, opt_state), batch)``
-    contract. Untouched-row semantics are torch.optim.SparseAdam's (moments
-    frozen), not dense Adam's (moments decay) — see module docstring.
+    contract (``with_key=True`` threads a PRNG key through the carry —
+    ``(params, opt_state, key)`` — and passes a fresh subkey to
+    ``loss_fn(gathered, dense, batch, key)``, for dropout-style steps).
+    ``weight_decay`` applies adam_l2-style decay: on dense leaves exactly,
+    on tables to TOUCHED rows only (SparseAdam-style deviation; untouched
+    rows do not decay). Untouched-row moments are frozen, not decayed —
+    see module docstring.
     """
     import optax
+
+    from ..models.common import adam_l2
 
     table_keys = []
     for k, _ in gathers:
         if k not in table_keys:
             table_keys.append(k)
     dense_keys = [k for k in params if k not in table_keys]
-    dense_opt = optax.adam(lr)
+    dense_opt = adam_l2(lr, weight_decay)
     opt_state = ({k: lazy_adam_init(params[k]) for k in table_keys},
                  dense_opt.init({k: params[k] for k in dense_keys}))
 
     def train_step(carry, batch):
-        params, (lazy_states, dense_state) = carry
+        if with_key:
+            params, (lazy_states, dense_state), key = carry
+            key, sub = jax.random.split(key)
+        else:
+            params, (lazy_states, dense_state) = carry
         rows = [rows_fn(batch) for _, rows_fn in gathers]
         gathered = [params[k][r] for (k, _), r in zip(gathers, rows)]
         dense = {k: params[k] for k in dense_keys}
-        loss, (g_rows, g_dense) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(gathered, dense, batch)
+        if with_key:
+            loss, (g_rows, g_dense) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(gathered, dense, batch, sub)
+        else:
+            loss, (g_rows, g_dense) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(gathered, dense, batch)
 
         new_params = dict(params)
         new_lazy = dict(lazy_states)
@@ -152,12 +177,15 @@ def make_lazy_train_step(lr: float, gathers, loss_fn, params):
             r = jnp.concatenate([a for a, _ in items])
             g = jnp.concatenate([b for _, b in items])
             new_lazy[k], new_params[k] = lazy_adam_row_update(
-                new_lazy[k], params[k], r, g, lr)
+                new_lazy[k], params[k], r, g, lr,
+                weight_decay=weight_decay)
         if dense_keys:
             updates, dense_state = dense_opt.update(g_dense, dense_state,
                                                     dense)
             for k, upd in optax.apply_updates(dense, updates).items():
                 new_params[k] = upd
+        if with_key:
+            return (new_params, (new_lazy, dense_state), key), loss
         return (new_params, (new_lazy, dense_state)), loss
 
     return train_step, opt_state

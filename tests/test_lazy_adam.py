@@ -151,3 +151,33 @@ def test_make_lazy_train_step_mixed_dense_and_sparse():
     ref_w = optax.apply_updates({"w": params["w"]}, upd)["w"]
     np.testing.assert_allclose(np.asarray(new_params["w"]), np.asarray(ref_w),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("name,params", [
+    ("HGN", dict(lr=0.05, reg=0.001, seq_L=4, seq_T=2, embed_size=16,
+                 batch_size=256, epochs=4, early_stop=4)),
+    ("Caser", dict(lr=0.05, l2_reg=0.001, embed_size=16, seq_L=4, seq_T=2,
+                   nv=2, nh=4, batch_size=256, epochs=4, early_stop=4)),
+])
+def test_mixed_lazy_adam_models_learn(name, params, tmp_path, monkeypatch):
+    """Mixed dense+sparse lazy path (dense conv/gate leaves + embedding
+    tables; weight decay on touched rows; Caser threads a dropout key)."""
+    from skrx import RunConfig
+    from skrx.io import synthetic
+    from skrx.utils import ModelRegistry
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=60,
+                                          num_items=100, num_ratings=1800,
+                                          seed=5, latent_dim=4,
+                                          latent_strength=6.0)
+    rc = RunConfig(recommender=name, data_dir=data_dir, file_column="UIRT",
+                   sep="\t", metric=("Recall", "NDCG"), top_k=(10,),
+                   test_batch_size=32, seed=2021)
+    reg = ModelRegistry(); reg.load_skrx_model(name)
+    cls, _ = reg.get_model(name)
+    res_dense = cls(rc, dict(params, optimizer="adam")).fit()
+    res_lazy = cls(rc, dict(params, optimizer="lazy_adam")).fit()
+    assert np.isfinite(res_lazy["NDCG@10"])
+    assert res_lazy["NDCG@10"] > 0.02
+    assert res_lazy["NDCG@10"] > 0.5 * res_dense["NDCG@10"]
