@@ -169,28 +169,17 @@ class RankingEvaluator:
         return (self._train_table[users], self._test_table[users],
                 self._test_len[users])
 
-    def evaluate_chunked(self, model, num_items: int, chunk_size: int = 65536,
-                         test_users: Optional[Iterable[int]] = None
-                         ) -> MetricReport:
-        """Huge-catalog evaluation that NEVER materializes the (B, N) score
-        matrix (SURVEY §7.3): the model must expose
-        ``predict_chunk(users, item_lo, item_hi) -> (B, hi-lo)`` scores; per
-        chunk we mask train items and keep a running top-k merge, then the
-        metrics run on the merged top-k (identical numbers to
-        :meth:`evaluate` — tested)."""
-        assert hasattr(model, "predict_chunk"), \
-            "model must expose predict_chunk(users, lo, hi) for chunked eval"
-        from ..ops.metrics import (hits_against_padded_truth,
-                                   ranking_metrics_from_hits, mask_items)
-
-        if test_users is not None:
-            test_users = [int(u) for u in test_users if int(u) in self.user_pos_test]
-        else:
-            test_users = [int(u) for u in self.user_pos_test.keys()]
-        users = np.asarray(test_users, dtype=np.int32)
-        n_users = len(users)
-        bs = self.batch_size
+    def _chunked_fns(self):
+        """Jitted merge/metric helpers for evaluate_chunked, built once per
+        evaluator (fresh closures per call would retrace + recompile every
+        evaluation and grow the jit caches without bound)."""
+        fns = getattr(self, "_chunked_fns_cache", None)
+        if fns is not None:
+            return fns
+        from ..ops.metrics import (hits_against_padded_truth, mask_items,
+                                   ranking_metrics_from_hits)
         k = self.max_top
+        metrics = self.metrics
 
         @jax.jit
         def merge(best_vals, best_idx, scores, train_table, offset):
@@ -210,8 +199,33 @@ class RankingEvaluator:
         @jax.jit
         def batch_metrics(top_idx, test_table, test_len, weight):
             hits = hits_against_padded_truth(top_idx, test_table)
-            per_user = ranking_metrics_from_hits(hits, test_len, self.metrics)
+            per_user = ranking_metrics_from_hits(hits, test_len, metrics)
             return jnp.sum(per_user * weight[:, None, None], axis=0)
+
+        self._chunked_fns_cache = (merge, batch_metrics)
+        return self._chunked_fns_cache
+
+    def evaluate_chunked(self, model, num_items: int, chunk_size: int = 65536,
+                         test_users: Optional[Iterable[int]] = None
+                         ) -> MetricReport:
+        """Huge-catalog evaluation that NEVER materializes the (B, N) score
+        matrix (SURVEY §7.3): the model must expose
+        ``predict_chunk(users, item_lo, item_hi) -> (B, hi-lo)`` scores; per
+        chunk we mask train items and keep a running top-k merge, then the
+        metrics run on the merged top-k (identical numbers to
+        :meth:`evaluate` — tested)."""
+        assert hasattr(model, "predict_chunk"), \
+            "model must expose predict_chunk(users, lo, hi) for chunked eval"
+        if test_users is not None:
+            test_users = [int(u) for u in test_users if int(u) in self.user_pos_test]
+        else:
+            test_users = [int(u) for u in self.user_pos_test.keys()]
+        assert len(test_users) > 0, "no test users"
+        users = np.asarray(test_users, dtype=np.int32)
+        n_users = len(users)
+        bs = self.batch_size
+        k = self.max_top
+        merge, batch_metrics = self._chunked_fns()
 
         metric_sum = None
         for lo in range(0, n_users, bs):
@@ -225,12 +239,25 @@ class RankingEvaluator:
                                                                  num_items)
             train_table = jnp.asarray(train_table)
             best_vals = jnp.full((bs, k), -jnp.inf, jnp.float32)
-            best_idx = jnp.zeros((bs, k), jnp.int32)
+            # sentinel init: an id that can never match a test item OR the
+            # test table's pad id (= num_items), so -inf filler slots for
+            # users with < k rankable items are misses (index 0 would be
+            # falsely hit-checked)
+            best_idx = jnp.full((bs, k), num_items + 1, jnp.int32)
+            shard = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                train_table = jax.device_put(train_table, shard)
+                best_vals = jax.device_put(best_vals, shard)
+                best_idx = jax.device_put(best_idx, shard)
             for item_lo in range(0, num_items, chunk_size):
                 item_hi = min(item_lo + chunk_size, num_items)
                 scores = jnp.asarray(
                     model.predict_chunk(batch_users, item_lo, item_hi),
                     jnp.float32)
+                if shard is not None:
+                    scores = jax.device_put(scores, shard)
                 best_vals, best_idx = merge(best_vals, best_idx, scores,
                                             train_table, item_lo)
             weight = jnp.asarray(((np.arange(bs) < n_real)

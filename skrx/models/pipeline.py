@@ -29,6 +29,8 @@ def pad_to_batches(arr: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.nda
     """Pad axis 0 up to a multiple of batch_size (repeating row 0) and return
     (padded, weights) where weights is 1.0 for real rows, 0.0 for padding."""
     n = len(arr)
+    if n == 0:
+        raise ValueError("empty training data — nothing to batch")
     n_batches = max(math.ceil(n / batch_size), 1)
     padded_n = n_batches * batch_size
     weights = np.zeros(padded_n, dtype=np.float32)
@@ -165,8 +167,6 @@ class PairwiseEpochPipeline:
         # equal-size chunks + one remainder chunk => at most 2 compilations
         while lo < nb:
             size = min(c, nb - lo)
-            if size != c and lo + size != nb:
-                size = nb - lo
             chunk = tuple(x[lo: lo + size] for x in batch_data)
             carry, loss_sum = chunk_fn(carry, chunk)
             total = total + loss_sum
@@ -287,8 +287,6 @@ class InteractionEpochPipeline:
         lo = 0
         while lo < nb:
             size = min(c, nb - lo)
-            if size != c and lo + size != nb:
-                size = nb - lo
             chunk = tuple(x[lo: lo + size] for x in batch_data)
             carry, loss_sum = chunk_fn(carry, chunk)
             total = total + loss_sum
@@ -321,10 +319,14 @@ class UserVecEpochPipeline:
         self._pos_table = jnp.asarray(pp.table)
         self._compiled = {}
 
-    def rows_for(self, users: jnp.ndarray) -> jnp.ndarray:
+    def rows_for(self, users: jnp.ndarray,
+                 pos_table: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Dense 0/1 interaction rows (B, N) for the given users, scattered
-        on device from the padded table (pad id drops)."""
-        table_rows = self._pos_table[users]                  # (B, P)
+        on device from the padded table (pad id drops). ``pos_table``
+        overrides the stored table (the epoch program passes its traced
+        copy so train and inference densification share one code path)."""
+        table = self._pos_table if pos_table is None else pos_table
+        table_rows = table[users]                            # (B, P)
         b = users.shape[0]
         rows = jnp.zeros((b, self.num_items + 1), jnp.float32)
         rows = rows.at[jnp.arange(b)[:, None], table_rows].set(1.0,
@@ -346,14 +348,10 @@ class UserVecEpochPipeline:
         step_keys = jax.random.split(k_step, nb)
         batch_data = _shard_batches(
             self.mesh, (users.reshape(nb, b), w.reshape(nb, b))) + (step_keys,)
-        n = self.num_items
 
         def body(c, batch):
             u, wt, k = batch
-            table_rows = pos_table[u]
-            rows = jnp.zeros((b, n + 1), jnp.float32)
-            rows = rows.at[jnp.arange(b)[:, None], table_rows].set(
-                1.0, mode="drop")[:, :n]
+            rows = self.rows_for(u, pos_table)
             c, loss = train_step(c, (u, rows, wt, k))
             return c, loss
 

@@ -55,17 +55,38 @@ def mask_items(scores: jnp.ndarray, item_table: jnp.ndarray,
 _BLOCKWISE_TOPK_MIN_N = 131072  # catalogs beyond this stream through Pallas
 
 
+def _pad_rank_sentinel(idx: jnp.ndarray, k: int, num_items: int):
+    """Pad (B, k_eff) indices to (B, k) with the never-hit id
+    ``num_items + 1`` — distinct from both every catalog id AND the truth
+    tables' pad id (= num_items) — for catalogs smaller than the metric
+    cutoff: ranks past the catalog are misses, matching the reference's
+    partial_sort of < k candidates."""
+    pad = k - idx.shape[1]
+    if pad <= 0:
+        return idx
+    fill = jnp.full((idx.shape[0], pad), num_items + 1, idx.dtype)
+    return jnp.concatenate([idx, fill], axis=1)
+
+
+def _use_blockwise(n: int, k: int) -> bool:
+    # the threshold-prune needs n_blocks >= k block maxima to get a finite
+    # tau; below that the kernel degrades to the naive k*N argmax loop
+    return (n >= _BLOCKWISE_TOPK_MIN_N and n // 4096 >= k
+            and jax.default_backend() == "tpu")
+
+
 def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
     """Exact top-k item indices per row (descending score). Very large
     catalogs use the Pallas blockwise streaming kernel
-    (skrx/ops/pallas/topk_blocks.py) on TPU."""
-    if (scores.shape[1] >= _BLOCKWISE_TOPK_MIN_N
-            and jax.default_backend() == "tpu"):
+    (skrx/ops/pallas/topk_blocks.py) on TPU. Catalogs smaller than k pad
+    the tail ranks with a never-hit sentinel."""
+    n = scores.shape[1]
+    if _use_blockwise(n, k):
         from .pallas import blockwise_topk
         _, idx = blockwise_topk(scores, k)
         return idx
-    _, idx = lax.top_k(scores, k)
-    return idx
+    _, idx = lax.top_k(scores, min(k, n))
+    return _pad_rank_sentinel(idx, k, n)
 
 
 def masked_topk_indices(scores: jnp.ndarray, mask_table: jnp.ndarray,
@@ -74,13 +95,13 @@ def masked_topk_indices(scores: jnp.ndarray, mask_table: jnp.ndarray,
     the -inf masking into the Pallas streaming kernel (7x over the XLA
     scatter + lax.top_k path at (64, 1M) — see topk_blocks.py); small ones
     use the plain masked lax.top_k."""
-    if (scores.shape[1] >= _BLOCKWISE_TOPK_MIN_N
-            and jax.default_backend() == "tpu"):
+    n = scores.shape[1]
+    if _use_blockwise(n, k):
         from .pallas import blockwise_topk
         _, idx = blockwise_topk(scores, k, mask_table=mask_table)
         return idx
-    _, idx = lax.top_k(mask_items(scores, mask_table), k)
-    return idx
+    _, idx = lax.top_k(mask_items(scores, mask_table), min(k, n))
+    return _pad_rank_sentinel(idx, k, n)
 
 
 def hits_against_padded_truth(topk_items: jnp.ndarray,

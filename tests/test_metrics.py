@@ -216,3 +216,61 @@ def test_user_vec_chunk_cache_encodes_once(tmp_path, monkeypatch):
     m.params = dict(m.params)  # params object replaced (as after an epoch)
     m.predict_chunk([4, 5, 6, 7], 0, 13)
     assert len(calls) == 3  # new params -> re-encode
+
+
+def test_chunked_eval_sparse_user_never_falsely_hits_item_zero():
+    """Users with fewer rankable items than max_top must not count item 0 as
+    a hit through the -inf filler slots (the running-merge init sentinel)."""
+    import jax.numpy as jnp
+    from skrx.eval import RankingEvaluator
+
+    # catalog of 6 items; user 0 trained on 1..4, tests on item 0 only; with
+    # top_k=5 only 2 rankable items (0 and 5) exist -> 3 filler slots
+    train = {0: np.array([1, 2, 3, 4])}
+    test = {0: np.array([0])}
+    ev = RankingEvaluator(train, test, metric=("Recall",), top_k=(5,),
+                          batch_size=4)
+
+    class _M:
+        def predict(self, users):
+            # item 5 scores above item 0
+            return np.tile(np.array([[1.0, 9, 9, 9, 9, 2.0]], np.float32),
+                           (len(users), 1))
+
+        def predict_chunk(self, users, lo, hi):
+            return self.predict(users)[:, lo:hi]
+
+    full = ev.evaluate(_M())
+    chunked = ev.evaluate_chunked(_M(), num_items=6, chunk_size=2)
+    # item 0 ranks 2nd of the 2 rankable items -> recall@5 = 1.0 in BOTH
+    np.testing.assert_allclose(float(chunked["Recall@5"]),
+                               float(full["Recall@5"]), atol=1e-6)
+
+    class _Miss(_M):
+        def predict(self, users):
+            # test item 0 scores BELOW every unrated item: it ranks 2nd of 2
+            # rankable -> still within top 5 -> recall 1; but with top_k=1 it
+            # must be a miss in both paths (filler slots must not hit)
+            return np.tile(np.array([[1.0, 9, 9, 9, 9, 2.0]], np.float32),
+                           (len(users), 1))
+
+    ev1 = RankingEvaluator(train, test, metric=("Recall",), top_k=(1,),
+                           batch_size=4)
+    full1 = ev1.evaluate(_Miss())
+    chunked1 = ev1.evaluate_chunked(_Miss(), num_items=6, chunk_size=2)
+    assert float(full1["Recall@1"]) == 0.0
+    assert float(chunked1["Recall@1"]) == 0.0
+
+
+def test_topk_clamps_to_small_catalogs():
+    """max_top larger than the catalog: tail ranks are misses, no crash."""
+    from skrx.ops.metrics import eval_score_matrix_device
+
+    scores = jnp.asarray(np.array([[3.0, 1.0, 2.0]], np.float32))
+    train = jnp.asarray(np.array([[3]], np.int32))   # pad id = N (none)
+    test = jnp.asarray(np.array([[0, 3]], np.int32))
+    tlen = jnp.asarray(np.array([1], np.int32))
+    out = np.asarray(eval_score_matrix_device(scores, train, test, tlen,
+                                              (2,), 10))  # Recall, k=10
+    # item 0 is rank 1 of 3; recall@k = 1 for all k >= 1, incl. padded ranks
+    np.testing.assert_allclose(out[0, 0], np.ones(10))
