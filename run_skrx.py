@@ -40,14 +40,23 @@ def main():
                 "seed": 2021}
 
     # Optional ini overlay: --config <file.ini> (restores the advertised
-    # capability missing from the reference code, SURVEY §5.6).
+    # capability missing from the reference code, SURVEY §5.6). Run-level
+    # keys (the RunConfig defaults above) overlay run_dict; everything else
+    # in the ini is a MODEL hyper-parameter. CLI flags override both.
+    run_keys = set(run_dict)
     argv = sys.argv[1:]
+    model_params = {}
     if "--config" in argv:
         i = argv.index("--config")
-        run_dict = merge_config_with_ini(run_dict, argv[i + 1])
+        ini_all = merge_config_with_ini({}, argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+        run_dict.update({k: v for k, v in ini_all.items() if k in run_keys})
+        model_params.update({k: v for k, v in ini_all.items()
+                             if k not in run_keys})
 
-    run_dict = merge_config_with_cmd_args(run_dict, argv)
+    cli = merge_config_with_cmd_args({}, argv)
+    run_dict.update({k: v for k, v in cli.items() if k in run_keys})
+    model_params.update({k: v for k, v in cli.items() if k not in run_keys})
     run_config = RunConfig(**run_dict)
     model_name = run_config.recommender
 
@@ -56,13 +65,6 @@ def main():
     if os.path.exists("unarchived_models"):
         registry.load_model_from_dir("unarchived_models", model_name)
     model_class, _config_class = registry.get_model(model_name)
-
-    model_params = merge_config_with_cmd_args({}, argv)
-    # run-level keys stay out of the model config (models ignore unknown keys
-    # anyway, but keep the dict clean)
-    for k in list(model_params):
-        if k in run_dict:
-            model_params.pop(k)
 
     _set_random_seed(run_config.seed)
     hyperopt = HyperOpt(run_config, model_class, _config_class, model_params)

@@ -333,6 +333,10 @@ class _PersistentCache:
             warnings.warn(f"failed to persist data cache: {err}")
 
 
+_ATEXIT_CACHES: Dict[str, tuple] = {}
+_ATEXIT_REGISTERED: set = set()
+
+
 class CFData:
     """Load ``<prefix>.{train,valid,test}`` + id maps
     (parity: reference dataset.py:365-489)."""
@@ -383,7 +387,15 @@ class CFData:
             holders = {"train": self.train_data, "valid": self.valid_data,
                        "test": self.test_data}
             self._cache.load_into(holders)
-            atexit.register(self._cache.save_from, holders)
+            # ONE atexit hook per cache file, pinning only the newest
+            # dataset copy — per-instance registration would pin every
+            # trial's DataFrames for process lifetime during a search
+            _ATEXIT_CACHES[cache_file] = (self._cache, holders)
+            if cache_file not in _ATEXIT_REGISTERED:
+                _ATEXIT_REGISTERED.add(cache_file)
+                atexit.register(
+                    lambda cf=cache_file: _ATEXIT_CACHES[cf][0].save_from(
+                        _ATEXIT_CACHES[cf][1]))
 
     @staticmethod
     def _read_map_file(path: str, sep: str):

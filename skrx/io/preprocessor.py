@@ -160,6 +160,8 @@ class Preprocessor:
         if valid != 0:
             self.valid_data = df[(rank >= train_end) & (rank < valid_end)] \
                 .reset_index(drop=True)
+        else:
+            self.valid_data = None  # a re-split must not keep a stale set
         self.test_data = df[rank >= valid_end].reset_index(drop=True)
 
     def split_data_by_leave_out(self, valid: int = 1, test: int = 1,
@@ -175,6 +177,8 @@ class Preprocessor:
         if valid != 0:
             self.valid_data = df[(rank >= train_end) & (rank < valid_end)] \
                 .reset_index(drop=True)
+        else:
+            self.valid_data = None  # a re-split must not keep a stale set
         self.test_data = df[rank >= valid_end].reset_index(drop=True)
 
     # ---- save ----

@@ -49,7 +49,10 @@ class AbstractRecommender:
         param_str = slugify(f"{dataset.data_name}_{model_name}_"
                             f"{config.to_string('_')}", max_len=155)
         run_id = f"{param_str}_{timestamp:.8f}"
-        log_dir = os.path.join("log", dataset.data_dir, model_name)
+        # basename keeps logs under ./log/ even for absolute data_dir
+        # (os.path.join discards 'log' when a component is absolute)
+        data_tag = os.path.basename(os.path.normpath(dataset.data_dir))
+        log_dir = os.path.join("log", data_tag, model_name)
         logger = Logger(os.path.join(log_dir, run_id + ".log"))
 
         logger.info(f"Server:\t{platform.node()}")

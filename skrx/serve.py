@@ -47,7 +47,16 @@ class TopKRecommender:
         self._rank = rank
 
     def recommend(self, users) -> Tuple[np.ndarray, np.ndarray]:
-        users_arr = jnp.asarray(np.asarray(users, dtype=np.int32))
+        users_np = np.asarray(users, dtype=np.int32)
+        # JAX gathers CLAMP out-of-range ids — an unknown user would silently
+        # receive the highest-id user's recommendations; fail loudly instead
+        num_users = self._seen.shape[0]
+        if users_np.size and (users_np.min() < 0
+                              or users_np.max() >= num_users):
+            raise ValueError(
+                f"user ids must be in [0, {num_users}); got "
+                f"[{users_np.min()}, {users_np.max()}]")
+        users_arr = jnp.asarray(users_np)
         scores = jnp.asarray(self.model.predict(users_arr), jnp.float32)
         seen = self._seen[users_arr]
         idx, vals = self._rank(scores, seen)
@@ -60,7 +69,6 @@ class TopKRecommender:
         model-specific; this covers the shared mask+rank tail."""
         from jax import export as jexport
 
-        num_items = self._seen.shape  # noqa: F841  (doc only)
         n = int(jnp.asarray(self.model.predict([0])).shape[1])
         scores_spec = jax.ShapeDtypeStruct((batch_size, n), jnp.float32)
         seen_spec = jax.ShapeDtypeStruct((batch_size, self._seen.shape[1]),

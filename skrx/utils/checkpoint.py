@@ -22,6 +22,7 @@ class Checkpointer:
     def __init__(self, directory: str, keep: int = 2):
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        assert keep >= 1, "keep must be >= 1 (steps[:-0] would retain all)"
         self._keep = keep
         self._ckpt = ocp.StandardCheckpointer()
 
@@ -35,9 +36,12 @@ class Checkpointer:
         self._ckpt.wait_until_finished()
         if extra is not None:
             # sidecar lives NEXT to the orbax dir (orbax finalizes the dir
-            # itself via atomic rename)
-            with open(path + ".extra.pkl", "wb") as f:
+            # itself via atomic rename); tmp + rename so a crash mid-write
+            # never leaves a truncated sidecar that blocks resume
+            tmp = path + ".extra.pkl.tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(extra, f)
+            os.replace(tmp, path + ".extra.pkl")
         self._gc()
 
     def _steps(self):
@@ -77,6 +81,9 @@ class Checkpointer:
         extra_path = path + ".extra.pkl"
         extra = {}
         if os.path.exists(extra_path):
-            with open(extra_path, "rb") as f:
-                extra = pickle.load(f)
+            try:
+                with open(extra_path, "rb") as f:
+                    extra = pickle.load(f)
+            except Exception:  # corrupt sidecar from a pre-fix crash:
+                extra = {}     # resume with params only (early-stop resets)
         return state, extra, step

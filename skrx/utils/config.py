@@ -28,7 +28,14 @@ __all__ = ["Config", "ModelConfig", "merge_config_with_cmd_args",
 
 
 def parse_value(text: str) -> Any:
-    """Parse a CLI/ini value into a Python literal, falling back to str."""
+    """Parse a CLI/ini value into a Python literal, falling back to str.
+
+    Ini-conventional lowercase booleans ('true'/'false', any case) parse as
+    bool — ast.literal_eval only accepts the Python spellings, and a truthy
+    string "false" would silently flip flags like hyperopt/resume.
+    """
+    if text.strip().lower() in ("true", "false"):
+        return text.strip().lower() == "true"
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

@@ -63,7 +63,9 @@ class HyperOpt:
         param_str = slugify(f"{self._dataset.data_name}_"
                             f"{self._model_class.__name__}", max_len=155)
         run_id = f"hyperopt_{param_str}_{timestamp:.8f}"
-        log_dir = os.path.join("log", self._dataset.data_dir,
+        data_tag = os.path.basename(
+            os.path.normpath(self._dataset.data_dir))
+        log_dir = os.path.join("log", data_tag,
                                self._model_class.__name__)
         logger = Logger(os.path.join(log_dir, run_id + ".log"))
         logger.info("Task: Tune Hyper-Parameters")
@@ -98,8 +100,9 @@ class HyperOpt:
                     algo=tpe.suggest, max_evals=self._num_combos,
                     trials=trials, early_stop_fn=self.early_stop_fn,
                     verbose=False)
+        del best, space_eval  # fmin's argmin is the stop-sentinel trial
         self.logger.info("Best params:\t"
-                         + json.dumps(space_eval(self._param_space, best),
+                         + json.dumps(getattr(self, "_best_params", {}),
                                       default=str))
         self.logger.info("\n\nBest results:")
         self.logger.info(str(self._best_trial_str))
@@ -146,7 +149,14 @@ class HyperOpt:
         self._current_model = self._model_class(self._run_config, model_params)
         result: MetricReport = self._current_model.fit()
         loss = -result[self._early_stopping.key_metric]
-        if self._early_stopping(result):
+        prev_best = self._early_stopping.best_result
+        stop = self._early_stopping(result)
+        if self._early_stopping.best_result is not prev_best \
+                or getattr(self, "_best_params", None) is None:
+            # track the ACTUAL best trial's params: fmin's argmin is the
+            # early-stop sentinel trial (-10+loss), not the best one
+            self._best_params = dict(hp_params)
+        if stop:
             # sentinel below any reachable metric value => stop the search
             return -10.0 + loss
         return loss

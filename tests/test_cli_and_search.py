@@ -71,3 +71,50 @@ def test_grid_search_fallback(data_dir, tmp_path, monkeypatch):
                       dict(epochs=2, early_stop=2, batch_size=128))
     result = driver.run()
     assert np.isfinite(result["NDCG@10"])
+
+
+def test_ini_model_params_reach_model_and_cli_overrides(tmp_path, monkeypatch):
+    """--config ini model hyper-params must reach the model config, and an
+    explicit CLI flag must override the ini (previously both were silently
+    dropped)."""
+    import subprocess
+    import sys
+
+    from skrx.io import synthetic
+
+    data_dir = synthetic.make_dataset_dir(str(tmp_path), num_users=30,
+                                          num_items=50, num_ratings=600,
+                                          seed=4)
+    ini = tmp_path / "run.ini"
+    ini.write_text("[run]\n"
+                   f"recommender = BPRMF\n"
+                   f"data_dir = {data_dir}\n"
+                   "file_column = UIRT\n"
+                   "n_dim = 12\n"          # model param via ini
+                   "epochs = 1\n"
+                   "early_stop = 1\n"
+                   "hyperopt = false\n")   # lowercase ini boolean
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, os\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "sys.argv = ['run_skrx.py', '--config', %r, '--lr', '0.05']\n"
+        "os.chdir(%r)\n"
+        "sys.path.insert(0, %r)\n"
+        "import run_skrx\n"
+        "import skrx.models.BPRMF as B\n"
+        "orig = B.BPRMF.__init__\n"
+        "seen = {}\n"
+        "def spy(self, rc, mp):\n"
+        "    seen.update(mp)\n"
+        "    orig(self, rc, mp)\n"
+        "B.BPRMF.__init__ = spy\n"
+        "run_skrx.main()\n"
+        "assert seen.get('n_dim') == 12, seen\n"
+        "assert seen.get('lr') == 0.05, seen\n"
+        "print('INI_OK')\n") % (str(ini), str(tmp_path), repo_root)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    assert "INI_OK" in out.stdout, out.stdout + out.stderr
