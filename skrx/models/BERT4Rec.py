@@ -120,7 +120,7 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
             })
         self.params = {
             "tok_emb": tn(keys[0], (vocab, d)),
-            "pos_emb": tn(keys[1], (L + 1, d)),
+            "pos_emb": tn(keys[1], (L, d)),
             "ln_e_s": jnp.ones((d,)), "ln_e_b": jnp.zeros((d,)),
             "mlm_dense": {"w": tn(keys[2], (d, d)), "b": jnp.zeros((d,))},
             "mlm_ln_s": jnp.ones((d,)), "mlm_ln_b": jnp.zeros((d,)),
@@ -136,10 +136,15 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
             [100])
 
         def decay_mask(params):
+            # reference optimization.py excludes ONLY LayerNorm and bias
+            # leaves from weight decay — embeddings DO decay; match the
+            # exclusion on the exact leaf key, not a substring (a suffix
+            # test like "b']" silently exempted tok_emb/pos_emb)
             def mask_fn(path, x):
                 name = "/".join(str(p) for p in path)
-                return not ("ln" in name or "_b'" in name or "bias" in name
-                            or name.endswith("b']"))
+                leaf = str(path[-1])
+                is_bias = leaf in ("['b']", "['bias']") or "bias" in leaf
+                return not ("ln" in name or is_bias)
             return jax.tree_util.tree_map_with_path(mask_fn, params)
 
         self.optimizer = optax.chain(
@@ -242,17 +247,23 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
 
         self._run_epoch = run_epoch
 
-        # test instances: last (L-1) items + [MASK] (force-last, gen_data:315)
+        # test instances (force-last, gen_data:421-508): the reference's
+        # test document is (train + test) with the LAST token masked, so for
+        # fold-out users earlier TEST items are visible context — a reference
+        # quirk kept for parity (leave-one-out users are unaffected)
+        test_pos = self.dataset.test_data.to_user_dict_by_time()
         test_tokens = np.full((self.num_users, L), pad_id, dtype=np.int32)
+        mask_pos = np.zeros(self.num_users, dtype=np.int32)
         for u in range(self.num_users):
-            seq = user_pos.get(u, np.array([], dtype=np.int32))
-            hist = seq[-(L - 1):] if L > 1 else seq[:0]
+            tr = user_pos.get(u, np.array([], dtype=np.int32))
+            te = test_pos.get(u, np.array([], dtype=np.int32))
+            doc = np.concatenate([tr, te]).astype(np.int32)
+            hist = doc[:-1][-(L - 1):] if L > 1 and len(doc) else doc[:0]
             test_tokens[u, : len(hist)] = hist
             test_tokens[u, len(hist)] = mask_id
+            mask_pos[u] = len(hist)
         self._test_tokens = jnp.asarray(test_tokens)
-        self._test_mask_pos = jnp.asarray(
-            np.minimum([len(user_pos.get(u, ())) for u in range(self.num_users)],
-                       L - 1).astype(np.int32))
+        self._test_mask_pos = jnp.asarray(mask_pos)
 
         @jax.jit
         def user_vec_fn(p, users):
@@ -283,7 +294,6 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
         self._predict_fn = predict_fn
         self._user_vec_fn = user_vec_fn
         self._score_chunk_fn = score_chunk_fn
-        self._eval_countdown = 0
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)

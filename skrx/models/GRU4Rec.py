@@ -146,7 +146,7 @@ class GRU4Rec(JaxRecommender):
         self._init_extra(keys[2])
         self.optimizer = optax.adam(cfg.lr)
         self.opt_state = self.optimizer.init(self.params)
-        self._rng_np = np.random.default_rng(run_config.seed)
+        self._np_seed = run_config.seed
         self._build_epoch_fn()
         self._build_predict_fn()
 
@@ -227,7 +227,11 @@ class GRU4Rec(JaxRecommender):
         self._run_epoch = run_epoch
 
     def _train_epoch(self, epoch: int) -> float:
-        perm = self._rng_np.permutation(self._n_sessions)
+        # fresh generator keyed by (seed, epoch): resume-deterministic
+        # (CLAUDE.md invariant; a mutating stream would replay epoch 0's
+        # schedule after a checkpoint restore)
+        rng = np.random.default_rng((self._np_seed, epoch))
+        perm = rng.permutation(self._n_sessions)
         in_s, out_s, resets = build_walker_schedule(
             self._items_flat, self._offsets, perm, self.config.batch_size)
         t = len(in_s)
@@ -241,8 +245,7 @@ class GRU4Rec(JaxRecommender):
         out_s = np.concatenate([out_s, np.zeros((pad, b), np.int32)])
         resets = np.concatenate([resets, np.ones((pad, b), bool)])
         valids = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
-        key = jax.random.fold_in(jax.random.key(
-            int(self._rng_np.integers(1 << 31))), epoch)
+        key = jax.random.fold_in(jax.random.key(self._np_seed), epoch)
         self.params, self.opt_state, loss = self._run_epoch(
             self.params, self.opt_state, jnp.asarray(in_s), jnp.asarray(out_s),
             jnp.asarray(resets.astype(np.float32)), jnp.asarray(valids), key)
@@ -282,12 +285,21 @@ class GRU4Rec(JaxRecommender):
 
         self._user_emb_fn = user_embeddings
 
+    # include the cached user states in the post-epoch invalidation sweep
+    _PREDICT_CACHE_ATTRS = ("_final", "_final_emb", "_final_items",
+                            "_uv_cache", "_cur_user_emb")
+    _cur_user_emb = None
+
     def evaluate(self, test_users=None):
         self._cur_user_emb = self._user_emb_fn(self.params, self._pred_seq,
                                                self._pred_mask)
         return super().evaluate(test_users)
 
     def predict(self, users) -> jnp.ndarray:
+        if self._cur_user_emb is None:  # serving / resumed / post-epoch
+            self._cur_user_emb = self._user_emb_fn(self.params,
+                                                   self._pred_seq,
+                                                   self._pred_mask)
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         ratings = (self._cur_user_emb[users] @ self.params["item_emb"].T
                    + self.params["item_bias"][None, :])

@@ -134,10 +134,12 @@ class SRGNN(JaxRecommender):
                                            staircase=True)
         self.optimizer = optax.adam(schedule)
         self.opt_state = self.optimizer.init(self.params)
-        self._rng_np = np.random.default_rng(run_config.seed)
+        self._np_seed = run_config.seed
 
         step_n, nonhybrid, l2_reg = cfg.step, cfg.nonhybrid, cfg.l2_reg
-        bsz = cfg.batch_size
+        # clamp so tiny datasets still form one training batch (a
+        # zero-batch epoch would yield a NaN mean loss and abort fit())
+        bsz = max(1, min(cfg.batch_size, len(train_seq)))
 
         def session_logits(p, nodes_b, alias_b, len_b):
             b = nodes_b.shape[0]
@@ -176,14 +178,17 @@ class SRGNN(JaxRecommender):
                 fin, alias_b[:, :, None].repeat(d, axis=2), axis=1)  # (B, L, D)
             mask = (jnp.arange(l_max)[None, :] < len_b[:, None]) \
                 .astype(jnp.float32)
-            m = jax.nn.sigmoid((last_h @ p["nasr_w1"])[:, None, :]
+            last_proj = last_h @ p["nasr_w1"]
+            m = jax.nn.sigmoid(last_proj[:, None, :]
                                + seq_h @ p["nasr_w2"] + p["nasr_b"])
             coef = (m @ p["nasr_v"].T)[..., 0] * mask            # (B, L)
             attn = jnp.sum(coef[:, :, None] * seq_h, axis=1)
             if nonhybrid:
                 sess = attn
             else:
-                sess = jnp.concatenate([attn, last_h], axis=-1) @ p["B"]
+                # the reference concatenates the nasr_w1-PROJECTED last state
+                # (SRGNN.py:154-163), not the raw last_h
+                sess = jnp.concatenate([attn, last_proj], axis=-1) @ p["B"]
             return sess @ p["embedding"].T                       # (B, N_items)
 
         self._session_logits = session_logits
@@ -226,7 +231,7 @@ class SRGNN(JaxRecommender):
 
         self._predict_fn = predict_fn
 
-    def _shuffled_order(self) -> np.ndarray:
+    def _shuffled_order(self, epoch: int) -> np.ndarray:
         """Two-level shuffle over length-sorted indices
         (SRGNN.py:220-231): chunk the descending-length order into
         batch_size*32 chunks, shuffle chunk order, shuffle within chunks."""
@@ -234,16 +239,17 @@ class SRGNN(JaxRecommender):
         order = np.argsort(-lengths, kind="stable")
         chunk = self.config.batch_size * 32
         chunks = [order[i: i + chunk] for i in range(0, len(order), chunk)]
-        self._rng_np.shuffle(chunks)
+        rng = np.random.default_rng((self._np_seed, epoch))  # resume-determ.
+        rng.shuffle(chunks)
         out = []
         for c in chunks:
             c = c.copy()
-            self._rng_np.shuffle(c)
+            rng.shuffle(c)
             out.append(c)
         return np.concatenate(out).astype(np.int32)
 
     def _train_epoch(self, epoch: int) -> float:
-        order = jnp.asarray(self._shuffled_order())
+        order = jnp.asarray(self._shuffled_order(epoch))
         self.params, self.opt_state, loss = self._run_epoch(
             self.params, self.opt_state, order)
         return float(loss)

@@ -129,6 +129,11 @@ class JaxRecommender(AbstractRecommender):
             self.pipeline.max_scan_steps = int(cap)
         early_stopping = EarlyStopping(metric="NDCG@10",
                                        patience=self.config.early_stop)
+        # evaluate every `verbose` epochs (BERT4Rec parity: the reference
+        # Estimator loop strides epochs by verbose, BERT4Rec.py:180, so
+        # early-stop patience counts EVALUATIONS, not epochs); every other
+        # model keeps verbose=1
+        eval_every = max(1, int(getattr(self.config, "verbose", 1)))
         ckpt = self._checkpointer()
         start_epoch = 0
         if ckpt is not None and self.run_config.resume:
@@ -155,6 +160,9 @@ class JaxRecommender(AbstractRecommender):
                 self.logger.error(f"epoch {epoch}: non-finite loss ({loss}); "
                                   f"stopping")
                 break
+            if ((epoch + 1) % eval_every != 0
+                    and epoch != self.config.epochs - 1):
+                continue  # final epoch always evaluates
             cur_result = self.evaluate()
             if profiling:
                 import jax
