@@ -99,8 +99,10 @@ class AOBPR(JaxRecommender):
             key, k_f = jax.random.split(key)
 
             # refresh per-factor ranking on cadence
+            # b_idx > 0: the epoch entry already sorted before the scan,
+            # so firing the cadence at step 0 would duplicate the full sort
             sorted_items, std = jax.lax.cond(
-                b_idx % resort_every == 0,
+                (b_idx % resort_every == 0) & (b_idx > 0),
                 lambda p: sort_factors(p["item_emb"]),
                 lambda p: (sorted_items, std), params)
 

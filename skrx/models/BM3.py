@@ -32,6 +32,9 @@ class BM3Config(ModelConfig):
     lr: float = 1e-3
     reg: float = 0.1
     embed_dim: int = 64
+    # NOTE: the reference BM3 hardcodes feat_embed_dim = embed_dim
+    # (BM3.py:79), so this field is accepted but — like the reference —
+    # has no effect on the projector width (kept for config parity)
     feat_dim: int = 64
     n_layers: int = 1
     dropout: float = 0.3
@@ -178,15 +181,28 @@ class BM3(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        carry = (self.params, self.opt_state, key)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step dropout — sharing one key
+        # correlates batch-0 dropout with the sampling stream
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
+    def evaluate(self, test_users=None):
+        self._final = self._embeddings_fn(self.params)
+        return super().evaluate(test_users)
+
     def predict(self, users) -> jnp.ndarray:
-        u_on, i_on = self._embeddings_fn(self.params)
+        u_on, i_on = self._chunk_embeddings()
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_on[users] @ i_on.T
 
     def _chunk_embeddings(self):
-        return self._embeddings_fn(self.params)
+        # cached per evaluation (invalidated after every training epoch by
+        # the fit harness); predict_chunk would otherwise re-run the full
+        # graph forward per (user batch x item chunk)
+        if getattr(self, "_final", None) is None:
+            self._final = self._embeddings_fn(self.params)
+        return self._final

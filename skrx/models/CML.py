@@ -75,10 +75,14 @@ class CML(EpochTrainedRecommender):
         margin, reg, clip_norm, d = (cfg.margin, cfg.reg, cfg.clip_norm,
                                      cfg.embed_size)
 
-        def cov_loss(matrix):
-            n_rows = matrix.shape[0]
-            centered = matrix - jnp.mean(matrix, axis=0)
-            cov = centered.T @ centered / n_rows
+        def cov_loss(matrix, w):
+            # weighted moments: zero-weight padding rows (duplicates of one
+            # epoch example) must not skew the covariance — the reference
+            # computes it over the real (possibly short) batch only
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(matrix * w[:, None], axis=0) / n
+            centered = (matrix - mean) * w[:, None]
+            cov = centered.T @ centered / n
             cov = cov - jnp.diag(jnp.diagonal(cov))
             return jnp.sqrt(jnp.sum(jnp.square(cov)) + 1e-12)
 
@@ -99,7 +103,8 @@ class CML(EpochTrainedRecommender):
             j_idx = jnp.argmin(d_ujs, axis=1)
             chosen = jnp.take_along_axis(neg, j_idx[:, None], axis=1)[:, 0]
             item_rows = jnp.concatenate([pe, p["item_emb"][chosen]], axis=0)
-            f2 = cov_loss(ue) + cov_loss(item_rows)
+            w2 = jnp.concatenate([w, w])
+            f2 = cov_loss(ue, w) + cov_loss(item_rows, w2)
             return loss + reg * f2, chosen
 
         def train_step(carry, batch):

@@ -239,9 +239,13 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        carry = (self.params, self.opt_state, key)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step dropout — sharing one key
+        # correlates batch-0 dropout with the sampling stream
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
     def _user_vectors(self, users):

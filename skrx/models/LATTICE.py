@@ -100,6 +100,8 @@ class LATTICE(EpochTrainedRecommender):
         v_feat = self.dataset.img_features
         t_feat = self.dataset.txt_features
         has_v, has_t = v_feat is not None, t_feat is not None
+        assert has_v or has_t, \
+            "LATTICE requires at least one modality feature table"
 
         # left-normalized (A + I) u-i graph (LATTICE.py:172-195)
         pairs = self.dataset.train_data.to_user_item_pairs()

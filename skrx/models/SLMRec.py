@@ -181,16 +181,14 @@ class SLMRec(EpochTrainedRecommender):
                 return jnp.concatenate(reps, axis=1)
             return jnp.mean(jnp.stack(reps), axis=0)
 
-        def towers(p, key=None, mask_idx=None):
-            """Per-modality GCN outputs; mask_idx in {0:v, 1:t, 2:id} zeroes
-            that tower's item inputs."""
+        def towers(p):
+            """Per-modality GCN outputs (eval mode — the FD/FM dropout and
+            masking variants live in twin_branch_loss's branch())."""
             v_dense = apply_lin(p["v_dense"], v_feat_j)
             t_dense = apply_lin(p["t_dense"], t_feat_j)
-            ks = jax.random.split(key, 3) if key is not None else [None] * 3
-            i_out = gcn(p["user_emb"], p["item_emb"], ks[0],
-                        mask_items=(mask_idx == 2))
-            v_out = gcn(p["user_emb"], v_dense, ks[1], mask_items=(mask_idx == 0))
-            t_out = gcn(p["user_emb"], t_dense, ks[2], mask_items=(mask_idx == 1))
+            i_out = gcn(p["user_emb"], p["item_emb"], None)
+            v_out = gcn(p["user_emb"], v_dense, None)
+            t_out = gcn(p["user_emb"], t_dense, None)
             return i_out, v_out, t_out
 
         def fuse(p, i_out, v_out, t_out):
@@ -207,10 +205,19 @@ class SLMRec(EpochTrainedRecommender):
         self._compute = jax.jit(lambda p: compute(p)[0])
 
         def ce_diag(logits, w):
-            """Weighted in-batch cross-entropy with diagonal labels."""
+            """Weighted in-batch cross-entropy with diagonal labels.
+
+            Zero-weight PADDING rows are removed from the denominator too
+            (log(0) = -inf column mask): they are duplicates of one epoch
+            example and would otherwise act as systematic extra negatives in
+            every softmax — the reference's last batch is simply smaller."""
+            logits = logits + jnp.log(jnp.maximum(w, 1e-38))[None, :]
             log_probs = jax.nn.log_softmax(logits, axis=-1)
             n_valid = jnp.maximum(jnp.sum(w), 1.0)
-            return -jnp.sum(jnp.diagonal(log_probs) * w) / n_valid
+            # pad rows' own diagonal is -inf (their column is masked);
+            # select before weighting or 0 * -inf = NaN
+            diag = jnp.where(w > 0, jnp.diagonal(log_probs), 0.0)
+            return -jnp.sum(diag * w) / n_valid
 
         def norm_rows(x):
             return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
@@ -299,9 +306,13 @@ class SLMRec(EpochTrainedRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        carry = (self.params, self.opt_state, key)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step dropout — sharing one key
+        # correlates batch-0 dropout with the sampling stream
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
     def evaluate(self, test_users=None):

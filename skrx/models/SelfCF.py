@@ -161,13 +161,23 @@ class SelfCF(EpochTrainedRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        carry = (self.params, self.opt_state, key)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step dropout — sharing one key
+        # correlates batch-0 dropout with the sampling stream
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry)
         (self.params, self.opt_state, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
+    def evaluate(self, test_users=None):
+        self._final = self._embeddings_fn(self.params)
+        return super().evaluate(test_users)
+
     def predict(self, users) -> jnp.ndarray:
-        u_pred, u_on, i_pred, i_on = self._embeddings_fn(self.params)
+        if getattr(self, "_final", None) is None:  # cached per evaluation
+            self._final = self._embeddings_fn(self.params)
+        u_pred, u_on, i_pred, i_on = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         # u_online·i_target + u_target·i_online (SelfCF.py:235-241)
         return u_pred[users] @ i_on.T + u_on[users] @ i_pred.T

@@ -77,7 +77,11 @@ def _neg_softmax_weights(y_neg):
 
 def bpr_max_loss(y_pos, y_neg, reg: float = 0.0):
     """BPR-max with softmax-weighted negatives + score regularization
-    (GRU4RecPlus.py:137-166 semantics)."""
+    (GRU4RecPlus.py:137-166 semantics).
+
+    NOTE: ``y_neg`` must contain NEGATIVES ONLY. For in-batch (B, B) logits
+    the positive sits on the diagonal — mask it to -inf before passing
+    (GRU4Rec's session walker does this in its inline _softmax_neg)."""
     w = _neg_softmax_weights(y_neg)
     p = jnp.sum(w * jax.nn.sigmoid(y_pos[..., None] - y_neg), axis=-1)
     loss = -jnp.log(p + 1e-24)
@@ -87,7 +91,8 @@ def bpr_max_loss(y_pos, y_neg, reg: float = 0.0):
 
 
 def top1_max_loss(y_pos, y_neg):
-    """TOP1-max: softmax-weighted TOP1."""
+    """TOP1-max: softmax-weighted TOP1. Same in-batch caveat as
+    :func:`bpr_max_loss`: mask the diagonal out of (B, B) logits first."""
     w = _neg_softmax_weights(y_neg)
     diff = y_neg - y_pos[..., None]
     return jnp.sum(w * (jax.nn.sigmoid(diff) + jax.nn.sigmoid(jnp.square(y_neg))),

@@ -57,7 +57,7 @@ def cached_mm_edges(cache_dir: str, tag: str, k: int,
     cached as .npz (same contract as FREEDOM's '_cache_mm_adj_*.pt')."""
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir,
-                        f"_cache_mm_adj_{tag}_{k}_{int(10 * image_weight)}.npz")
+                        f"_cache_mm_adj_{tag}_{k}_w{image_weight:g}.npz")
     if os.path.exists(path):
         blob = np.load(path)
         return blob["rows"], blob["cols"], blob["vals"]

@@ -86,3 +86,59 @@ def test_ffn_residual():
     x = jnp.asarray(rng.standard_normal((2, 3, d)).astype(np.float32))
     out = feedforward_conv1(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x))  # zero net + residual
+
+
+def test_loss_helpers_match_session_model_inline_math():
+    """The library loss helpers (skrx/ops/losses.py) equal the GRU4Rec-family
+    inline formulations when fed diagonal-masked in-batch logits — pins the
+    helpers so a drop-in use stays correct."""
+    import jax
+    import jax.numpy as jnp
+    from skrx.ops.losses import bpr_max_loss, top1_loss, top1_max_loss
+
+    rng = np.random.default_rng(0)
+    b = 6
+    logits = jnp.asarray(rng.standard_normal((b, b)).astype(np.float32))
+    y_pos = jnp.diagonal(logits)
+    eye = jnp.eye(b, dtype=bool)
+    neg_masked = jnp.where(eye, -jnp.inf, logits)
+
+    # inline GRU4RecPlus bpr-max: softmax over non-diagonal negatives
+    w = jax.nn.softmax(neg_masked, axis=-1)
+    p = jnp.sum(w * jax.nn.sigmoid(y_pos[:, None] - logits)
+                * (~eye), axis=-1)
+    ref_bprmax = -jnp.log(p + 1e-24)
+    got = bpr_max_loss(y_pos, jnp.where(eye, -jnp.inf, logits))
+    # helper computes sigmoid(pos - (-inf)) = 1 on the diagonal but its
+    # softmax weight there is 0, so the results agree
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_bprmax),
+                               rtol=1e-5, atol=1e-6)
+
+    # TOP1 on explicit negatives
+    negs = jnp.asarray(rng.standard_normal((b, 4)).astype(np.float32))
+    ref_top1 = jnp.mean(jax.nn.sigmoid(negs - y_pos[:, None])
+                        + jax.nn.sigmoid(negs ** 2), axis=-1)
+    np.testing.assert_allclose(np.asarray(top1_loss(y_pos, negs)),
+                               np.asarray(ref_top1), rtol=1e-6)
+
+    wn = jax.nn.softmax(negs, axis=-1)
+    ref_t1m = jnp.sum(wn * (jax.nn.sigmoid(negs - y_pos[:, None])
+                            + jax.nn.sigmoid(negs ** 2)), axis=-1)
+    np.testing.assert_allclose(np.asarray(top1_max_loss(y_pos, negs)),
+                               np.asarray(ref_t1m), rtol=1e-6)
+
+
+def test_info_nce_loss_matches_manual():
+    import jax
+    import jax.numpy as jnp
+    from skrx.ops.losses import info_nce_loss
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+    an = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    pn = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    logits = an @ pn.T / 0.2
+    ref = -jnp.diagonal(jax.nn.log_softmax(logits, axis=-1))
+    np.testing.assert_allclose(np.asarray(info_nce_loss(a, p, 0.2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
