@@ -41,9 +41,11 @@ def main():
 
     # Optional ini overlay: --config <file.ini> (restores the advertised
     # capability missing from the reference code, SURVEY §5.6). Run-level
-    # keys (the RunConfig defaults above) overlay run_dict; everything else
-    # in the ini is a MODEL hyper-parameter. CLI flags override both.
-    run_keys = set(run_dict)
+    # keys (EVERY declared RunConfig field, incl. the TPU extensions:
+    # mesh_shape, checkpoint_dir/checkpoint_every/resume, profile_dir,
+    # compute_dtype) overlay run_dict; everything else in the ini is a MODEL
+    # hyper-parameter. CLI flags override both.
+    run_keys = set(RunConfig().to_dict().keys())
     argv = sys.argv[1:]
     model_params = {}
     if "--config" in argv:

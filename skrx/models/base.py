@@ -160,8 +160,21 @@ class JaxRecommender(AbstractRecommender):
                 self.logger.error(f"epoch {epoch}: non-finite loss ({loss}); "
                                   f"stopping")
                 break
-            if ((epoch + 1) % eval_every != 0
-                    and epoch != self.config.epochs - 1):
+            skip_eval = ((epoch + 1) % eval_every != 0
+                         and epoch != self.config.epochs - 1)
+            if profiling and skip_eval:
+                # stop the trace even on non-eval epochs (verbose > 1) so the
+                # profiled epoch is never left open
+                import jax
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to {profile_dir}")
+            if ckpt is not None and skip_eval and \
+                    (epoch + 1) % self.run_config.checkpoint_every == 0:
+                # checkpoint cadence is independent of eval cadence
+                ckpt.save(epoch, self._train_state(),
+                          {"epoch": epoch,
+                           "early_stopping": early_stopping.get_state()})
+            if skip_eval:
                 continue  # final epoch always evaluates
             cur_result = self.evaluate()
             if profiling:

@@ -118,3 +118,25 @@ def test_ini_model_params_reach_model_and_cli_overrides(tmp_path, monkeypatch):
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=600)
     assert "INI_OK" in out.stdout, out.stdout + out.stderr
+
+def test_cli_routes_tpu_extension_flags_to_runconfig(data_dir, tmp_path,
+                                                     monkeypatch):
+    """TPU-extension RunConfig fields (checkpoint_dir/checkpoint_every/
+    mesh_shape/...) passed on the CLI must reach RunConfig, not be dropped
+    into model params (ADVICE r1, medium)."""
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpts")
+    monkeypatch.setattr(sys, "argv", [
+        "run_skrx.py", "--recommender", "BPRMF", "--data_dir", data_dir,
+        "--file_column", "UIRT", "--top_k", "(10,)", "--metric", "('NDCG',)",
+        "--test_batch_size", "16", "--epochs", "2", "--early_stop", "2",
+        "--checkpoint_dir", ckpt_dir, "--checkpoint_every", "1"])
+    sys.path.insert(0, "/root/repo")
+    import os
+
+    import run_skrx
+    result = run_skrx.main()
+    assert result["NDCG@10"] >= 0.0
+    # checkpoints were actually written => the flags reached RunConfig
+    assert os.path.isdir(os.path.join(ckpt_dir, "BPRMF"))
+    assert os.listdir(os.path.join(ckpt_dir, "BPRMF"))
