@@ -1,17 +1,22 @@
-"""Benchmark: BPRMF training throughput, skrx-on-TPU vs reference-style CPU.
+"""Benchmark: LightGCN full train step at Gowalla scale, skrx-on-TPU vs the
+reference-architecture torch-CPU loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: BPRMF (d=64, batch 1024) on a synthetic MovieLens-100k-scale
-dataset (943 users x 1682 items, ~100k interactions) — BASELINE.md config #1.
+Workload (BASELINE.md config #3): LightGCN d=64, batch 2048 on a
+Gowalla-scale bipartite graph (30k users x 40k items, 2M interactions -> 4M
+directed edges). Each train step runs the FULL 3-layer graph propagation
+forward + backward + Adam — the chip-bound showcase of the Pallas MXU
+scatter kernel (skrx/ops/pallas/segsum_mxu.py; the XLA segment-sum scatter it
+replaces runs at ~15 GB/s effective).
 
 Baseline: the reference implementation cannot be built here (its Cython
 extensions need Cython, absent from the image), so the baseline is a faithful
 torch-CPU reimplementation of the reference's exact hot loop
-(skrec/recommender/BPRMF.py:101-127 + data_iterator.py:226-234): per-epoch
-numpy negative resampling with per-user exclusion, numpy->torch.from_numpy
-per batch, summed BPR + L2 reg, Adam. Measured on this machine's CPU; the
-skrx number is the jitted whole-epoch-on-device pipeline on the TPU.
+(skrec/recommender/LightGCN.py:89-111: torch.sparse.mm K-layer propagation,
+mean layer combination, mean BPR + reg*L2/batch, Adam), measured on this
+machine's CPU. The skrx number is the jitted train step on the TPU with
+graph_impl resolved as in production ('mxu' on TPU at this edge count).
 """
 import json
 import os
@@ -20,129 +25,129 @@ import time
 
 import numpy as np
 
-NUM_USERS, NUM_ITEMS, NUM_RATINGS = 943, 1682, 100_000
-BATCH, DIM, LR, REG = 1024, 64, 1e-3, 1e-3
-DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".bench_data")
+USERS, ITEMS, INTERACTIONS = 30_000, 40_000, 2_000_000
+DIM, BATCH, LAYERS, LR, REG = 64, 2048, 3, 1e-3, 1e-3
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _dataset():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from skrx.io import RSDataset, synthetic
-    marker = os.path.join(DATA_DIR, "synth_ratio_by_time_u3_i1")
-    if not os.path.isdir(marker):
-        os.makedirs(DATA_DIR, exist_ok=True)
-        synthetic.make_dataset_dir(DATA_DIR, num_users=NUM_USERS,
-                                   num_items=NUM_ITEMS,
-                                   num_ratings=NUM_RATINGS, seed=2021)
-    return RSDataset(marker, "\t", "UIRT")
+def _graph_and_batch(seed=0):
+    from skrx.models.LightGCN import build_bipartite_adj
+
+    rs = np.random.RandomState(seed)
+    pairs = np.stack([rs.randint(0, USERS, INTERACTIONS),
+                      rs.randint(0, ITEMS, INTERACTIONS)],
+                     1).astype(np.int64)
+    adj = build_bipartite_adj(pairs, USERS, ITEMS, "pre")
+    users = rs.randint(0, USERS, BATCH).astype(np.int32)
+    pos = rs.randint(0, ITEMS, BATCH).astype(np.int32)
+    neg = rs.randint(0, ITEMS, BATCH).astype(np.int32)
+    return adj, users, pos, neg
 
 
-def bench_reference_cpu(dataset, num_epochs=2):
-    """Reference-architecture torch-CPU BPRMF epoch (per-batch host loop)."""
+def bench_reference_cpu(adj, users, pos, neg, n_steps=3):
+    """Reference-architecture LightGCN train step on torch CPU."""
     import torch
 
-    from skrx.io import PairwiseIterator
-
-    train = dataset.train_data
+    coo = adj.tocoo()
+    a = torch.sparse_coo_tensor(
+        np.stack([coo.row, coo.col]), coo.data.astype(np.float32),
+        size=adj.shape).coalesce()
     torch.manual_seed(0)
-    user_emb = torch.nn.Embedding(dataset.num_users, DIM)
-    item_emb = torch.nn.Embedding(dataset.num_items, DIM)
-    item_bias = torch.nn.Embedding(dataset.num_items, 1)
-    torch.nn.init.normal_(user_emb.weight, 0.0, 0.01)
-    torch.nn.init.normal_(item_emb.weight, 0.0, 0.01)
-    torch.nn.init.zeros_(item_bias.weight)
-    opt = torch.optim.Adam(list(user_emb.parameters())
-                           + list(item_emb.parameters())
-                           + list(item_bias.parameters()), lr=LR)
-    it = PairwiseIterator(train, batch_size=BATCH, shuffle=True)
+    n = USERS + ITEMS
+    ego = torch.nn.Parameter(torch.empty(n, DIM))
+    torch.nn.init.xavier_uniform_(ego)
+    opt = torch.optim.Adam([ego], lr=LR)
+    u = torch.from_numpy(users).long()
+    p = torch.from_numpy(pos).long()
+    ng = torch.from_numpy(neg).long()
 
-    n_examples = 0
-    start = time.perf_counter()
-    for _ in range(num_epochs):
-        for users, pos, neg in it:
-            u = torch.from_numpy(users).long()
-            p = torch.from_numpy(pos).long()
-            n = torch.from_numpy(np.asarray(neg)).long()
-            ue, pe, ne = user_emb(u), item_emb(p), item_emb(n)
-            y_pos = (ue * pe).sum(-1) + item_bias(p).squeeze(-1)
-            y_neg = (ue * ne).sum(-1) + item_bias(n).squeeze(-1)
-            loss = -torch.nn.functional.logsigmoid(y_pos - y_neg).sum()
-            reg_term = 0.5 * (ue.pow(2).sum() + pe.pow(2).sum()
-                              + ne.pow(2).sum() + item_bias(p).pow(2).sum()
-                              + item_bias(n).pow(2).sum())
-            loss = loss + REG * reg_term
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-            n_examples += len(users)
-    elapsed = time.perf_counter() - start
-    return n_examples / elapsed
+    def step():
+        layers, h = [ego], ego
+        for _ in range(LAYERS):
+            h = torch.sparse.mm(a, h)
+            layers.append(h)
+        comb = torch.stack(layers, 1).mean(1)
+        u_all, i_all = comb[:USERS], comb[USERS:]
+        y_pos = (u_all[u] * i_all[p]).sum(-1)
+        y_neg = (u_all[u] * i_all[ng]).sum(-1)
+        loss = torch.nn.functional.softplus(y_neg - y_pos).mean()
+        reg = 0.5 * (ego[u].pow(2).sum() + ego[USERS + p].pow(2).sum()
+                     + ego[USERS + ng].pow(2).sum()) / BATCH
+        loss = loss + REG * reg
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
 
 
-def bench_skrx_tpu(dataset, num_epochs=25):
-    """skrx whole-epoch on-device pipeline."""
+def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
+    """skrx LightGCN train step: propagation via the production graph impl
+    ('mxu' Pallas kernel on TPU, XLA segment-sum elsewhere)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from skrx.models.pipeline import PairwiseEpochPipeline
+    from skrx.models.common import build_prop_graph
     from skrx.ops import bpr_loss
+    from skrx.ops.graph import propagate
 
-    train = dataset.train_data
-    key = jax.random.key(0)
-    k_u, k_i = jax.random.split(key)
+    graph = build_prop_graph(adj, "auto")
+    rs = np.random.RandomState(1)
     params = {
-        "user_emb": 0.01 * jax.random.normal(k_u, (dataset.num_users, DIM)),
-        "item_emb": 0.01 * jax.random.normal(k_i, (dataset.num_items, DIM)),
-        "item_bias": jnp.zeros((dataset.num_items,), jnp.float32),
+        "user_emb": jnp.asarray(rs.randn(USERS, DIM).astype(np.float32) * .01),
+        "item_emb": jnp.asarray(rs.randn(ITEMS, DIM).astype(np.float32) * .01),
     }
-    optimizer = optax.adam(LR)
-    opt_state = optimizer.init(params)
-    pipeline = PairwiseEpochPipeline(train, BATCH, num_neg=1)
+    opt = optax.adam(LR)
+    u = jnp.asarray(users)
+    p = jnp.asarray(pos)
+    ng = jnp.asarray(neg)
 
-    def loss_fn(p, batch):
-        users, pos, neg, w = batch
-        neg = neg[:, 0]
-        ue, pe, ne = p["user_emb"][users], p["item_emb"][pos], p["item_emb"][neg]
-        y_pos = jnp.sum(ue * pe, -1) + p["item_bias"][pos]
-        y_neg = jnp.sum(ue * ne, -1) + p["item_bias"][neg]
-        loss = jnp.sum(bpr_loss(y_pos, y_neg) * w)
-        reg_term = 0.5 * jnp.sum(
-            (jnp.sum(ue ** 2 + pe ** 2 + ne ** 2, -1)
-             + p["item_bias"][pos] ** 2 + p["item_bias"][neg] ** 2) * w)
-        return loss + REG * reg_term
+    def loss_fn(prm):
+        ego = jnp.concatenate([prm["user_emb"], prm["item_emb"]], 0)
+        layers, h = [ego], ego
+        for _ in range(LAYERS):
+            h = propagate(graph, h)
+            layers.append(h)
+        comb = jnp.mean(jnp.stack(layers, 1), 1)
+        u_all, i_all = comb[:USERS], comb[USERS:]
+        loss = jnp.mean(bpr_loss(jnp.sum(u_all[u] * i_all[p], -1),
+                                 jnp.sum(u_all[u] * i_all[ng], -1)))
+        reg = 0.5 * jnp.sum(prm["user_emb"][u] ** 2
+                            + prm["item_emb"][p] ** 2
+                            + prm["item_emb"][ng] ** 2) / BATCH
+        return loss + REG * reg
 
-    # flat-parameter fused update (framework default for dense Adam)
-    from skrx.models.common import make_flat_train_step
-    train_step, flat0, opt_state0, _ = make_flat_train_step(optimizer,
-                                                            loss_fn, params)
-    carry = (flat0, opt_state0)
-    # warmup/compile; float() forces full materialization (block_until_ready
-    # alone does not synchronize through the axon tunnel)
-    carry, loss = pipeline.run_epoch(jax.random.fold_in(key, 999), carry,
-                                     train_step)
+    @jax.jit
+    def step(prm, s):
+        loss, grads = jax.value_and_grad(loss_fn)(prm)
+        upd, s = opt.update(grads, s, prm)
+        return optax.apply_updates(prm, upd), s, loss
+
+    prm, s, loss = step(params, opt.init(params))
+    float(loss)  # compile + materialize (axon: block_until_ready won't sync)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        prm, s, loss = step(prm, s)
     float(loss)
-
-    start = time.perf_counter()
-    for e in range(num_epochs):
-        carry, loss = pipeline.run_epoch(jax.random.fold_in(key, e), carry,
-                                         train_step)
-    float(loss)
-    elapsed = time.perf_counter() - start
-    return num_epochs * pipeline.num_examples / elapsed
+    return n_steps / (time.perf_counter() - t0)
 
 
 def main():
-    dataset = _dataset()
-    _ = dataset.train_data.to_user_item_pairs()  # force load outside timing
-    baseline = bench_reference_cpu(dataset)
-    tpu = bench_skrx_tpu(dataset)
+    adj, users, pos, neg = _graph_and_batch()
+    baseline_sps = bench_reference_cpu(adj, users, pos, neg)
+    tpu_sps = bench_skrx_tpu(adj, users, pos, neg)
     print(json.dumps({
-        "metric": "BPRMF train throughput (ML-100k scale)",
-        "value": round(tpu, 1),
+        "metric": "LightGCN full train step, Gowalla scale "
+                  "(70k nodes, 4M edges, d=64, B=2048)",
+        "value": round(tpu_sps * BATCH, 1),
         "unit": "examples/s",
-        "vs_baseline": round(tpu / baseline, 2),
+        "vs_baseline": round(tpu_sps / baseline_sps, 2),
     }))
 
 

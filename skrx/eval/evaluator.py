@@ -100,7 +100,9 @@ class RankingEvaluator:
                  user_test_dict: Dict[int, np.ndarray],
                  metric: Union[None, str, Tuple[str, ...], List[str]] = None,
                  top_k: Union[int, List[int], Tuple[int, ...]] = 50,
-                 batch_size: int = 256, num_thread: int = 8, mesh=None):
+                 batch_size: int = 256, num_thread: int = 8, mesh=None,
+                 eval_mode: str = "auto", chunk_size: int = 65536,
+                 chunk_threshold: int = 131072):
         if metric is None:
             metric = ["Precision", "Recall", "MAP", "NDCG", "MRR"]
         elif isinstance(metric, str):
@@ -125,6 +127,14 @@ class RankingEvaluator:
         # 'data' axis so ranking/metrics compute data-parallel across chips
         # (no reference counterpart — skrec is single-GPU).
         self.mesh = mesh
+        # evaluate() routing: "full" (materialize (B, N)), "chunked" (running
+        # top-k merge over catalog slices), "topk" (tensor-parallel
+        # model.predict_topk), or "auto" — topk when the mesh has a model
+        # axis > 1, chunked when num_items >= chunk_threshold, else full.
+        assert eval_mode in ("auto", "full", "chunked", "topk"), eval_mode
+        self.eval_mode = eval_mode
+        self.chunk_size = int(chunk_size)
+        self.chunk_threshold = int(chunk_threshold)
 
         if isinstance(top_k, int):
             self.max_top = top_k
@@ -271,7 +281,90 @@ class RankingEvaluator:
         final = final[:, self.top_show - 1].reshape(-1)
         return MetricReport(self.metrics_list, final)
 
+    def evaluate_topk(self, model, num_items: int,
+                      test_users: Optional[Iterable[int]] = None
+                      ) -> MetricReport:
+        """Tensor-parallel evaluation: the model's
+        ``predict_topk(users, k, train_table) -> (vals, global ids)`` returns
+        the train-masked exact top-k with the catalog row-sharded over the
+        mesh 'model' axis (two-stage merge), so the (B, N) score matrix never
+        exists on one chip; metrics run on the merged top-k — identical
+        numbers to :meth:`evaluate` (tested)."""
+        assert hasattr(model, "predict_topk"), \
+            "model must expose predict_topk(users, k, train_table)"
+        if test_users is not None:
+            test_users = [int(u) for u in test_users
+                          if int(u) in self.user_pos_test]
+        else:
+            test_users = [int(u) for u in self.user_pos_test.keys()]
+        assert len(test_users) > 0, "no test users"
+        users = np.asarray(test_users, dtype=np.int32)
+        n_users = len(users)
+        bs = self.batch_size
+        k = self.max_top
+        sentinel = num_items + 1   # never matches a test id OR the pad id
+        _, batch_metrics = self._chunked_fns()
+
+        metric_sum = None
+        for lo in range(0, n_users, bs):
+            batch_users = users[lo: lo + bs]
+            n_real = len(batch_users)
+            pad = bs - n_real
+            if pad:
+                batch_users = np.concatenate(
+                    [batch_users, np.full(pad, batch_users[-1], np.int32)])
+            train_table, test_table, test_len = self._tables_for(batch_users,
+                                                                 num_items)
+            vals, idx = model.predict_topk(batch_users, k,
+                                           jnp.asarray(train_table))
+            vals = jnp.asarray(vals, jnp.float32)
+            idx = jnp.asarray(idx, jnp.int32)
+            # -inf slots (masked / padded catalog) must never hit a test item
+            idx = jnp.where(jnp.isneginf(vals), sentinel, idx)
+            if idx.shape[1] < k:   # catalog smaller than the metric cutoff
+                fill = jnp.full((bs, k - idx.shape[1]), sentinel, jnp.int32)
+                idx = jnp.concatenate([idx, fill], axis=1)
+            weight = jnp.asarray(((np.arange(bs) < n_real)
+                                  & (test_len > 0)).astype(np.float32))
+            batch_sum = batch_metrics(idx, jnp.asarray(test_table),
+                                      jnp.asarray(np.maximum(test_len, 1)),
+                                      weight)
+            metric_sum = batch_sum if metric_sum is None \
+                else metric_sum + batch_sum
+
+        final = np.asarray(metric_sum) / n_users
+        final = final[:, self.top_show - 1].reshape(-1)
+        return MetricReport(self.metrics_list, final)
+
+    def _model_parallel(self) -> bool:
+        if self.mesh is None:
+            return False
+        from ..parallel.mesh import model_parallel_size
+        return model_parallel_size(self.mesh) > 1
+
     def evaluate(self, model, test_users: Optional[Iterable[int]] = None) -> MetricReport:
+        """Route to the right evaluation strategy (see ``eval_mode``), then
+        compute ranking metrics. All strategies produce identical numbers;
+        they differ in how the score matrix is (not) materialized."""
+        num_items = getattr(model, "num_items", None)
+        mode = self.eval_mode
+        if mode == "chunked" or (mode == "auto" and num_items is not None
+                                 and num_items >= self.chunk_threshold
+                                 and hasattr(model, "predict_chunk")
+                                 and not (self._model_parallel()
+                                          and hasattr(model, "predict_topk"))):
+            assert num_items is not None, \
+                "chunked eval needs model.num_items"
+            return self.evaluate_chunked(model, num_items, self.chunk_size,
+                                         test_users)
+        if mode == "topk" or (mode == "auto" and self._model_parallel()
+                              and hasattr(model, "predict_topk")):
+            assert num_items is not None, "topk eval needs model.num_items"
+            return self.evaluate_topk(model, num_items, test_users)
+        return self._evaluate_full(model, test_users)
+
+    def _evaluate_full(self, model,
+                       test_users: Optional[Iterable[int]] = None) -> MetricReport:
         assert hasattr(model, "predict"), "the model must have a 'predict' method"
         if test_users is not None:
             test_users = [int(u) for u in test_users if int(u) in self.user_pos_test]

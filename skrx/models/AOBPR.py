@@ -128,8 +128,11 @@ class AOBPR(JaxRecommender):
             loss = jnp.sum(-jax.nn.log_sigmoid(x_uij) * w)
             return (params, sorted_items, std, key, b_idx + 1), loss
 
+        mesh = self.mesh
+
         @jax.jit
         def run_epoch(params, users, pos, w, key):
+            from .pipeline import _shard_batches
             k_perm, k_rank, k_steps = jax.random.split(key, 3)
             s = users.shape[0]
             perm = jax.random.permutation(k_perm, s)
@@ -137,8 +140,9 @@ class AOBPR(JaxRecommender):
             rank_idx = jax.random.categorical(
                 k_rank, self._rank_logits, shape=(s,)).astype(jnp.int32)
             sorted_items, std = sort_factors(params["item_emb"])
-            batches = (users.reshape(nb, bsz), pos.reshape(nb, bsz),
-                       rank_idx.reshape(nb, bsz), w.reshape(nb, bsz))
+            batches = _shard_batches(
+                mesh, (users.reshape(nb, bsz), pos.reshape(nb, bsz),
+                       rank_idx.reshape(nb, bsz), w.reshape(nb, bsz)))
             (params, _, _, _, _), losses = jax.lax.scan(
                 step, (params, sorted_items, std, k_steps, 0), batches)
             return params, jnp.sum(losses) / jnp.maximum(jnp.sum(w), 1.0)

@@ -234,13 +234,16 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
             return (params, opt_state, rng), loss
 
         bsz = cfg.batch_size
+        mesh = self.mesh
 
         @jax.jit
         def run_epoch(params, opt_state, windows, w, key):
+            from .pipeline import _shard_batches
             k_perm, k_steps = jax.random.split(key)
             perm = jax.random.permutation(k_perm, windows.shape[0])
             windows, w = windows[perm], w[perm]
-            batches = (windows.reshape(nb, bsz, L), w.reshape(nb, bsz))
+            batches = _shard_batches(
+                mesh, (windows.reshape(nb, bsz, L), w.reshape(nb, bsz)))
             (params, opt_state, _), losses = jax.lax.scan(
                 train_step, (params, opt_state, k_steps), batches)
             return params, opt_state, jnp.mean(losses)

@@ -22,6 +22,7 @@ from ..ops import bpr_loss, l2_loss, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import ChunkedDotPredictMixin
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["BPRMF", "BPRMFConfig"]
@@ -53,7 +54,7 @@ class BPRMFConfig(ModelConfig):
         assert self.optimizer in ("adam", "lazy_adam")
 
 
-class BPRMF(JaxRecommender):
+class BPRMF(ChunkedDotPredictMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = BPRMFConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -74,6 +75,9 @@ class BPRMF(JaxRecommender):
         self.pipeline = PairwiseEpochPipeline(self.dataset.train_data,
                                               cfg.batch_size, num_neg=1, mesh=self.mesh)
         self._rng = jax.random.key(run_config.seed + 1)
+        from ..parallel.mesh import model_parallel_size
+        self._tp = (model_parallel_size(self.mesh) > 1
+                    and cfg.optimizer == "adam")
 
         reg = cfg.reg
 
@@ -139,6 +143,17 @@ class BPRMF(JaxRecommender):
             self.opt_state = (lazy_adam_init(self.params["user_emb"]),
                               lazy_adam_init(self.params["item_emb"]),
                               lazy_adam_init(self.params["item_bias"]))
+        elif self._tp:
+            # tensor-parallel: user/item tables row-sharded over the mesh
+            # 'model' axis; per-leaf Adam with sharding constraints so the
+            # epoch-scan carry keeps the layout (identical math)
+            from ..parallel import mf_param_shardings, shard_params_for_mf
+            from .common import make_sharded_train_step
+            self.params = shard_params_for_mf(self.mesh, self.params)
+            self.opt_state = self.optimizer.init(self.params)
+            self._train_step = make_sharded_train_step(
+                self.optimizer, loss_fn,
+                mf_param_shardings(self.mesh, self.params))
         else:
             # dense Adam over the RAVELED parameter vector: identical math
             # (Adam is elementwise), ~1.7x fewer/fused update kernels
@@ -164,7 +179,7 @@ class BPRMF(JaxRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
-        if self.config.optimizer == "lazy_adam":
+        if self.config.optimizer == "lazy_adam" or self._tp:
             (self.params, self.opt_state), loss = self.pipeline.run_epoch(
                 key, (self.params, self.opt_state), self._train_step)
         else:
@@ -175,9 +190,18 @@ class BPRMF(JaxRecommender):
 
     def _load_train_state(self, state) -> None:
         super()._load_train_state(state)
-        if self.config.optimizer != "lazy_adam":
+        if self._tp:
+            from ..parallel import shard_params_for_mf
+            self.params = shard_params_for_mf(self.mesh, self.params)
+        elif self.config.optimizer != "lazy_adam":
             from jax.flatten_util import ravel_pytree
             self._flat, _ = ravel_pytree(self.params)
+
+    def _chunk_embeddings(self):
+        return self.params["user_emb"], self.params["item_emb"]
+
+    def _chunk_bias(self):
+        return self.params["item_bias"]
 
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))

@@ -213,9 +213,16 @@ class GRU4Rec(JaxRecommender):
                 valid, do_update, skip, (params, opt_state, states))
             return (params, opt_state, states, key), loss
 
+        mesh = self.mesh
+
         @jax.jit
         def run_epoch(params, opt_state, in_steps, out_steps, resets, valids,
                       key):
+            from .pipeline import _shard_batches
+            # session-parallel walker: batch dim sharded over the mesh 'data'
+            # axis ((T, B) step arrays; the per-step valid flags replicate)
+            in_steps, out_steps, resets = _shard_batches(
+                mesh, (in_steps, out_steps, resets))
             b = in_steps.shape[1]
             states = [jnp.zeros((b, n), jnp.float32) for n in cfg.layers]
             (params, opt_state, _, _), losses = jax.lax.scan(

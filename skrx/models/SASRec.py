@@ -31,7 +31,7 @@ from ..run_config import RunConfig
 from ..utils import ModelConfig, pad_sequences
 from .base import JaxRecommender
 from .common import CachedUserVecChunkMixin
-from .pipeline import pad_to_batches
+from .pipeline import _shard_batches, pad_to_batches
 
 __all__ = ["SASRec", "SASRecConfig"]
 
@@ -195,6 +195,7 @@ class SASRec(CachedUserVecChunkMixin, JaxRecommender):
             return (params, opt_state, rng), loss
 
         nb, bsz = self._num_batches, self._batch_size
+        mesh = self.mesh
 
         @jax.jit
         def run_epoch(key, params, opt_state, users, seqs, poss, w, pos_table):
@@ -206,8 +207,9 @@ class SASRec(CachedUserVecChunkMixin, JaxRecommender):
             neg = sample_negatives(k_neg, users, pos_table, num_items,
                                    num_neg=L, num_trials=8)
             neg = jnp.where(poss != pad_id, neg, pad_id)
-            batches = (seqs.reshape(nb, bsz, L), poss.reshape(nb, bsz, L),
-                       neg.reshape(nb, bsz, L), w.reshape(nb, bsz))
+            batches = _shard_batches(mesh, (
+                seqs.reshape(nb, bsz, L), poss.reshape(nb, bsz, L),
+                neg.reshape(nb, bsz, L), w.reshape(nb, bsz)))
             (params, opt_state, _), losses = jax.lax.scan(
                 train_step, (params, opt_state, k_steps), batches)
             return params, opt_state, jnp.mean(losses)

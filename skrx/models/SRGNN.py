@@ -211,12 +211,16 @@ class SRGNN(JaxRecommender):
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
+        mesh = self.mesh
+
         @jax.jit
         def run_epoch(params, opt_state, order):
+            from .pipeline import _shard_batches
             nb = order.shape[0] // bsz
             order = order[: nb * bsz].reshape(nb, bsz)
-            batches = (self._nodes[order], self._alias[order],
-                       self._lengths[order], self._targets[order])
+            batches = _shard_batches(
+                mesh, (self._nodes[order], self._alias[order],
+                       self._lengths[order], self._targets[order]))
             (params, opt_state), losses = jax.lax.scan(
                 train_step, (params, opt_state), batches)
             return params, opt_state, jnp.mean(losses)

@@ -40,7 +40,11 @@ class AbstractRecommender:
             self.dataset.test_data.to_user_dict(),
             metric=run_config.metric, top_k=run_config.top_k,
             batch_size=run_config.test_batch_size,
-            num_thread=run_config.test_thread, mesh=mesh)
+            num_thread=run_config.test_thread, mesh=mesh,
+            eval_mode=getattr(run_config, "eval_mode", "auto"),
+            chunk_size=getattr(run_config, "eval_chunk_size", 65536),
+            chunk_threshold=getattr(run_config, "eval_chunk_threshold",
+                                    131072))
         self._user_groups = group_users_by_interactions(self.dataset)
 
     def _create_logger(self, dataset: RSDataset, config: Config) -> Logger:

@@ -13,7 +13,8 @@ import optax
 
 from .base import JaxRecommender
 
-__all__ = ["make_train_step", "EpochTrainedRecommender", "adam_l2",
+__all__ = ["make_train_step", "make_sharded_train_step",
+           "EpochTrainedRecommender", "adam_l2",
            "ChunkedDotPredictMixin", "CachedUserVecChunkMixin",
            "build_prop_graph", "GRAPH_IMPLS", "resolve_graph_impl",
            "mxu_msg_dtype"]
@@ -83,6 +84,26 @@ def make_train_step(optimizer: optax.GradientTransformation,
     return train_step
 
 
+def make_sharded_train_step(optimizer: optax.GradientTransformation,
+                            loss_fn: Callable, param_shardings):
+    """Tensor-parallel variant of :func:`make_train_step`: the updated params
+    are re-constrained to their NamedShardings every step so the whole-epoch
+    ``lax.scan`` carry keeps its row-sharded layout (embedding tables split
+    over the mesh 'model' axis; XLA inserts the gather/reduce-scatter
+    collectives). Math is identical to the unsharded step."""
+
+    def train_step(carry, batch):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = jax.tree_util.tree_map(jax.lax.with_sharding_constraint,
+                                        params, param_shardings)
+        return (params, opt_state), loss
+
+    return train_step
+
+
 def make_flat_train_step(optimizer: optax.GradientTransformation,
                          loss_fn: Callable, params):
     """Like :func:`make_train_step` but with the whole parameter pytree
@@ -133,6 +154,88 @@ class ChunkedDotPredictMixin:
         if bias is not None:
             scores = scores + bias[None, item_lo:item_hi]
         return scores
+
+    def predict_topk(self, users, k: int, train_table=None):
+        """Tensor-parallel exact top-k: the item catalog is row-sharded over
+        the mesh 'model' axis, each shard scores only its slice (masking any
+        train items that fall in it), takes a local top-k, and candidates are
+        all-gathered and re-topped (two-stage exact merge,
+        skrx/parallel/topk_merge.py) — the (B, N) score matrix never exists
+        on one chip. Returns (values (B, k'), global ids (B, k')) with
+        k' = min(k, num_items); -inf slots carry masked/padded ids.
+
+        Requires ``self.mesh`` with model axis > 1 (no reference counterpart
+        — skrec's predict materializes full (B, N) on one GPU,
+        skrec/recommender/BPRMF.py:145-147).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import MODEL_AXIS, model_parallel_size
+
+        mesh = self.mesh
+        m = model_parallel_size(mesh)
+        assert m > 1, "predict_topk needs a mesh with model axis > 1"
+        u_all, i_all = self._chunk_embeddings()
+        bias = self._chunk_bias()
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        uv = u_all[users]
+        n_items = int(i_all.shape[0])
+        shard = -(-n_items // m)
+        pad = shard * m - n_items
+        if pad:
+            i_all = jnp.pad(i_all, ((0, pad), (0, 0)))
+        if bias is None:
+            bias = jnp.zeros((shard * m,), jnp.float32)
+        elif pad:
+            bias = jnp.pad(bias, (0, pad))
+        i_all = jax.device_put(i_all, NamedSharding(mesh, P(MODEL_AXIS, None)))
+        bias = jax.device_put(bias, NamedSharding(mesh, P(MODEL_AXIS)))
+        if train_table is None:
+            train_table = jnp.full((users.shape[0], 1), n_items, jnp.int32)
+        train_table = jnp.asarray(train_table, jnp.int32)
+
+        key = (id(mesh), k, n_items, int(uv.shape[0]), int(uv.shape[1]),
+               int(train_table.shape[1]))
+        cache = self.__dict__.setdefault("_topk_fns", {})
+        fn = cache.get(key)
+        if fn is None:
+            from jax import shard_map
+
+            k_local = min(k, shard)
+            k_glob = min(k, m * k_local, n_items)
+
+            def shard_fn(uv, item_shard, bias_shard, train_tab):
+                offset = jax.lax.axis_index(MODEL_AXIS) * shard
+                scores = uv @ item_shard.T + bias_shard[None, :]
+                ids = offset + jnp.arange(shard)
+                # catalog padding rows can never rank
+                scores = jnp.where(ids[None, :] < n_items, scores, -jnp.inf)
+                # mask this shard's slice of the train items; out-of-slice
+                # ids (incl. the table's pad id) go out of bounds -> dropped.
+                # NB negative locals would WRAP in the scatter — send them
+                # out of bounds explicitly.
+                local = train_tab - offset
+                local = jnp.where(local < 0, shard, local)
+                rows = jnp.broadcast_to(
+                    jnp.arange(scores.shape[0])[:, None], local.shape)
+                scores = scores.at[rows, local].set(-jnp.inf, mode="drop")
+                vals, idx = jax.lax.top_k(scores, k_local)
+                idx = idx + offset
+                all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1,
+                                              tiled=True)
+                all_idx = jax.lax.all_gather(idx, MODEL_AXIS, axis=1,
+                                             tiled=True)
+                top_vals, pos = jax.lax.top_k(all_vals, k_glob)
+                return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+            fn = jax.jit(shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS), P()),
+                out_specs=(P(), P()), check_vma=False))
+            cache[key] = fn
+        return fn(uv, i_all, bias, train_table)
 
 
 class CachedUserVecChunkMixin:
@@ -196,7 +299,22 @@ class EpochTrainedRecommender(JaxRecommender):
     def _finalize_setup_flat(self, run_seed: int, loss_fn: Callable):
         """Fused flat-parameter variant of :meth:`_finalize_setup` for models
         whose step is a plain loss_fn + elementwise optimizer (see
-        :func:`make_flat_train_step`)."""
+        :func:`make_flat_train_step`).
+
+        With a tensor-parallel mesh (model axis > 1) the flat raveling would
+        destroy per-table row shardings, so this routes to a per-leaf step
+        with the embedding tables row-sharded over the 'model' axis
+        (:func:`make_sharded_train_step`); math is identical either way."""
+        from ..parallel.mesh import model_parallel_size
+
+        if model_parallel_size(self.mesh) > 1:
+            from ..parallel import mf_param_shardings, shard_params_for_mf
+            self.params = shard_params_for_mf(self.mesh, self.params)
+            self._train_step = make_sharded_train_step(
+                self.optimizer, loss_fn,
+                mf_param_shardings(self.mesh, self.params))
+            self._finalize_setup(run_seed)
+            return
         (self._train_step, self._flat, self.opt_state,
          self._unravel) = make_flat_train_step(self.optimizer, loss_fn,
                                                self.params)
@@ -219,6 +337,11 @@ class EpochTrainedRecommender(JaxRecommender):
         if self._use_flat:
             from jax.flatten_util import ravel_pytree
             self._flat, _ = ravel_pytree(self.params)
+        else:
+            from ..parallel.mesh import model_parallel_size
+            if model_parallel_size(self.mesh) > 1:
+                from ..parallel import shard_params_for_mf
+                self.params = shard_params_for_mf(self.mesh, self.params)
 
     def predict(self, users):
         import jax.numpy as jnp

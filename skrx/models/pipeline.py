@@ -50,6 +50,8 @@ def _shard_batches(mesh, batch_data):
     axis = mesh.axis_names[0]
 
     def shard(x):
+        if x.ndim < 2:   # per-step scalars (e.g. walker valid flags)
+            return x
         spec = P(None, axis, *([None] * (x.ndim - 2)))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 

@@ -14,7 +14,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "data_sharding", "model_row_sharding", "replicated",
-           "P", "Mesh", "NamedSharding", "shard_params_for_mf"]
+           "P", "Mesh", "NamedSharding", "shard_params_for_mf",
+           "mf_param_shardings", "model_parallel_size"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -48,6 +49,28 @@ def model_row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def model_parallel_size(mesh: Optional[Mesh]) -> int:
+    """Size of the model axis (1 when no mesh / no model axis)."""
+    if mesh is None:
+        return 1
+    return int(dict(mesh.shape).get(MODEL_AXIS, 1))
+
+
+def mf_param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree matching :func:`shard_params_for_mf`'s placement
+    (used as ``with_sharding_constraint`` targets inside train steps so the
+    scan carry keeps its tensor-parallel layout)."""
+    rows = model_row_sharding(mesh)
+    rep = replicated(mesh)
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= mesh.shape[MODEL_AXIS]:
+            return rows
+        return rep
+
+    return jax.tree_util.tree_map(spec, params)
 
 
 def shard_params_for_mf(mesh: Mesh, params: dict) -> dict:

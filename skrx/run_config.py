@@ -46,6 +46,13 @@ class RunConfig(Config):
     # Write a jax.profiler trace of one training epoch + one evaluation to
     # this directory (view with TensorBoard / xprof). Empty disables.
     profile_dir: str = ""
+    # Evaluation strategy: "auto" picks tensor-parallel top-k when the mesh
+    # has a model axis > 1, chunked (never materialize (B, N)) when
+    # num_items >= eval_chunk_threshold, full otherwise. "full" / "chunked" /
+    # "topk" force a strategy. All produce identical metrics.
+    eval_mode: str = "auto"
+    eval_chunk_size: int = 65536
+    eval_chunk_threshold: int = 131072
 
     def _validate(self):
         assert isinstance(self.recommender, str) and self.recommender
@@ -65,3 +72,5 @@ class RunConfig(Config):
         assert self.test_thread > 0
         assert isinstance(self.seed, int)
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.eval_mode in ("auto", "full", "chunked", "topk")
+        assert self.eval_chunk_size > 0 and self.eval_chunk_threshold > 0

@@ -1,0 +1,189 @@
+"""Tensor parallelism wired into real model paths (RunConfig.mesh_shape with
+model axis > 1): row-sharded embedding tables in fit(), two-stage top-k
+predict, and evaluator routing — all numerically identical to single-device.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from skrx import RunConfig
+from skrx.eval import RankingEvaluator
+from skrx.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from skrx.io import synthetic
+    root = tmp_path_factory.mktemp("mp")
+    return synthetic.make_dataset_dir(str(root), num_users=60, num_items=90,
+                                      num_ratings=1500, seed=11)
+
+
+def _run_config(data_dir, **kw):
+    return RunConfig(recommender="BPRMF", data_dir=data_dir,
+                     file_column="UIRT", sep="\t", metric=("NDCG", "Recall"),
+                     top_k=(10,), test_batch_size=16, seed=1, **kw)
+
+
+def _fit(model_cls, data_dir, params, mesh_shape=None, monkey_chdir=None,
+         **run_kw):
+    run = _run_config(data_dir, mesh_shape=mesh_shape, **run_kw)
+    m = model_cls(run, dict(params))
+    return m, m.fit()
+
+
+def test_bprmf_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
+    """BPRMF trained with mesh (4, 2) — tables row-sharded over 'model',
+    batches over 'data' — must produce the same trajectory and metrics as
+    single-device (same PRNG keys; math identical)."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.BPRMF import BPRMF
+
+    hp = dict(lr=0.05, n_dim=16, batch_size=128, epochs=3, early_stop=5)
+    m1, r1 = _fit(BPRMF, data_dir, hp)
+    m2, r2 = _fit(BPRMF, data_dir, hp, mesh_shape=(4, 2))
+    assert m2._tp, "mesh_shape=(4,2) must enable the tensor-parallel step"
+    for k in r1.results:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-4, atol=1e-7)
+    p1 = jax.tree_util.tree_map(np.asarray, m1.params)
+    p2 = jax.tree_util.tree_map(np.asarray, m2.params)
+    for k in p1:
+        np.testing.assert_allclose(p2[k], p1[k], rtol=2e-4, atol=1e-6)
+
+    # two-stage sharded top-k == full-matrix top-k (bias + no ties expected)
+    users = np.arange(16)
+    vals, idx = m2.predict_topk(users, 10)
+    rv, ri = jax.lax.top_k(jnp.asarray(m2.predict(users)), 10)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+def test_bprmf_tp_predict_topk_masks_train_items(data_dir, tmp_path,
+                                                 monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.BPRMF import BPRMF
+
+    hp = dict(lr=0.05, n_dim=16, batch_size=128, epochs=1, early_stop=1)
+    m, _ = _fit(BPRMF, data_dir, hp, mesh_shape=(4, 2))
+    users = np.arange(8)
+    n = m.num_items
+    rng = np.random.default_rng(0)
+    # mask table with some per-user items + pad id = n
+    table = np.full((8, 6), n, np.int32)
+    for i in range(8):
+        table[i, :4] = rng.choice(n, 4, replace=False)
+    vals, idx = m.predict_topk(users, 10, jnp.asarray(table))
+    idx = np.asarray(idx)
+    for i in range(8):
+        assert not set(idx[i]) & set(table[i, :4].tolist()), \
+            "masked train items surfaced in the sharded top-k"
+    # reference: full scores with rows masked
+    full = np.array(m.predict(users))  # writable copy
+    for i in range(8):
+        full[i, table[i, :4]] = -np.inf
+    rv, ri = jax.lax.top_k(jnp.asarray(full), 10)
+    np.testing.assert_array_equal(idx, np.asarray(ri))
+
+
+def test_lightgcn_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
+    """LightGCN via _finalize_setup_flat's TP routing: sharded params through
+    the graph propagation, identical metrics."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.LightGCN import LightGCN
+
+    hp = dict(lr=0.05, embed_size=16, n_layers=2, batch_size=128, epochs=2,
+              early_stop=5)
+    _, r1 = _fit(LightGCN, data_dir, hp)
+    m2, r2 = _fit(LightGCN, data_dir, hp, mesh_shape=(4, 2))
+    assert not m2._use_flat, "TP must route away from the flat raveled step"
+    for k in r1.results:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-4, atol=1e-7)
+
+
+class _FactoredModel:
+    """predict == u @ i.T (+bias); exposes predict_topk via the mixin."""
+
+    def __init__(self, mesh, num_users=32, num_items=100, dim=8, seed=0):
+        from skrx.models.common import ChunkedDotPredictMixin
+        rng = np.random.default_rng(seed)
+        self.mesh = mesh
+        self.num_items = num_items
+        self._u = jnp.asarray(rng.standard_normal((num_users, dim)),
+                              jnp.float32)
+        self._i = jnp.asarray(rng.standard_normal((num_items, dim)),
+                              jnp.float32)
+        self._b = jnp.asarray(rng.standard_normal(num_items), jnp.float32)
+        self._mixin = ChunkedDotPredictMixin
+        self.predict_topk = ChunkedDotPredictMixin.predict_topk.__get__(self)
+
+    def _chunk_embeddings(self):
+        return self._u, self._i
+
+    def _chunk_bias(self):
+        return self._b
+
+    def predict(self, users):
+        u = self._u[jnp.asarray(np.asarray(users, np.int32))]
+        return u @ self._i.T + self._b[None, :]
+
+
+def test_evaluate_topk_equals_full_eval():
+    """evaluator.evaluate on a (d, m>1) mesh routes through evaluate_topk and
+    must reproduce the full-matrix metrics exactly."""
+    mesh = make_mesh((2, 4))
+    model = _FactoredModel(mesh)
+    rng = np.random.default_rng(3)
+    train = {u: rng.permutation(100)[:10] for u in range(32)}
+    test = {u: np.setdiff1d(rng.permutation(100)[:25],
+                            train[u])[:5] for u in range(32)}
+    kwargs = dict(metric=("Precision", "Recall", "NDCG", "MAP", "MRR"),
+                  top_k=(5, 10), batch_size=16)
+    full = RankingEvaluator(train, test, **kwargs)._evaluate_full(model)
+    ev = RankingEvaluator(train, test, mesh=mesh, **kwargs)
+    routed = ev.evaluate(model)
+    topk = ev.evaluate_topk(model, model.num_items)
+    for m in full.metrics():
+        np.testing.assert_allclose(routed[m], full[m], rtol=1e-6)
+        np.testing.assert_allclose(topk[m], full[m], rtol=1e-6)
+
+
+def test_eval_mode_chunked_forced_in_fit(data_dir, tmp_path, monkeypatch):
+    """RunConfig(eval_mode='chunked') routes fit()'s per-epoch eval through
+    evaluate_chunked with identical metrics to full eval."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.BPRMF import BPRMF
+
+    hp = dict(lr=0.05, n_dim=16, batch_size=128, epochs=2, early_stop=5)
+    calls = []
+    orig = RankingEvaluator.evaluate_chunked
+
+    def spy(self, model, num_items, chunk_size=65536, test_users=None):
+        calls.append(chunk_size)
+        return orig(self, model, num_items, chunk_size, test_users)
+
+    monkeypatch.setattr(RankingEvaluator, "evaluate_chunked", spy)
+    m1, r1 = _fit(BPRMF, data_dir, hp)
+    assert not calls, "full eval must not hit the chunked path by default"
+    m2, r2 = _fit(BPRMF, data_dir, hp, eval_mode="chunked",
+                  eval_chunk_size=32)
+    assert calls and all(c == 32 for c in calls)
+    for k in r1.results:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-6)
+
+
+def test_eval_mode_auto_threshold():
+    """auto mode flips to chunked when num_items >= threshold."""
+    mesh = None
+    model = _FactoredModel(mesh)
+    model.predict_chunk = lambda users, lo, hi: model.predict(users)[:, lo:hi]
+    rng = np.random.default_rng(5)
+    train = {u: rng.permutation(100)[:10] for u in range(32)}
+    test = {u: np.setdiff1d(rng.permutation(100)[:25],
+                            train[u])[:5] for u in range(32)}
+    kwargs = dict(metric=("NDCG",), top_k=(10,), batch_size=16)
+    full = RankingEvaluator(train, test, **kwargs).evaluate(model)
+    auto = RankingEvaluator(train, test, chunk_threshold=50, chunk_size=33,
+                            **kwargs).evaluate(model)
+    np.testing.assert_allclose(auto["NDCG@10"], full["NDCG@10"], rtol=1e-6)
