@@ -124,6 +124,42 @@ void eval_one_user(const float* ratings, int n_items,
 
 }  // namespace
 
+// Row-wise full sort / argsort, ascending or descending, stable on ties
+// (lower index first). 1D arrays are rows=1. Parity with the reference's
+// templated 1D/2D sort kernels (skrec cython include/sort.h:17-170 +
+// pyx_sort.pyx:25-187) — float32 and int32 instantiations, thread-pooled.
+template <typename T>
+static void sort_rows(const T* x, int rows, int n, int descending,
+                      int n_threads, T* out) {
+    parallel_for(rows, n_threads, [&](int64_t r) {
+        const T* src = x + r * n;
+        T* dst = out + r * n;
+        std::copy(src, src + n, dst);
+        if (descending)
+            std::stable_sort(dst, dst + n, std::greater<T>());
+        else
+            std::stable_sort(dst, dst + n);
+    });
+}
+
+template <typename T>
+static void arg_sort_rows(const T* x, int rows, int n, int descending,
+                          int n_threads, int* out_idx) {
+    parallel_for(rows, n_threads, [&](int64_t r) {
+        const T* src = x + r * n;
+        int* dst = out_idx + r * n;
+        for (int i = 0; i < n; ++i) dst[i] = i;
+        if (descending)
+            std::stable_sort(dst, dst + n, [src](int a, int b) {
+                return src[a] > src[b];
+            });
+        else
+            std::stable_sort(dst, dst + n, [src](int a, int b) {
+                return src[a] < src[b];
+            });
+    });
+}
+
 extern "C" {
 
 // scores: (B, n_items) row-major. test/train items flat + offsets (len B+1).
@@ -189,6 +225,26 @@ void skrx_top_k(const float* scores, int batch, int n_items, int top_k,
             out_vals[b * top_k + i] = j >= 0 ? row[j] : -INFINITY;
         }
     });
+}
+
+void skrx_sort_f32(const float* x, int rows, int n, int descending,
+                   int n_threads, float* out) {
+    sort_rows<float>(x, rows, n, descending, n_threads, out);
+}
+
+void skrx_sort_i32(const int* x, int rows, int n, int descending,
+                   int n_threads, int* out) {
+    sort_rows<int>(x, rows, n, descending, n_threads, out);
+}
+
+void skrx_arg_sort_f32(const float* x, int rows, int n, int descending,
+                       int n_threads, int* out_idx) {
+    arg_sort_rows<float>(x, rows, n, descending, n_threads, out_idx);
+}
+
+void skrx_arg_sort_i32(const int* x, int rows, int n, int descending,
+                       int n_threads, int* out_idx) {
+    arg_sort_rows<int>(x, rows, n, descending, n_threads, out_idx);
 }
 
 int skrx_abi_check() {

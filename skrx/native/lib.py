@@ -121,6 +121,43 @@ def batch_sample_negatives_native(high: int, sizes: Sequence[int],
     return res
 
 
+def _sortish(arr: np.ndarray, descending: bool, thread_num: int, arg: bool):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++?)")
+    arr = np.asarray(arr)
+    squeeze = arr.ndim == 1
+    if squeeze:
+        arr = arr[None, :]
+    assert arr.ndim == 2, "sort_native/arg_sort_native take 1D or 2D arrays"
+    if np.issubdtype(arr.dtype, np.integer):
+        arr = np.ascontiguousarray(arr, dtype=np.int32)
+        fn = lib.skrx_arg_sort_i32 if arg else lib.skrx_sort_i32
+        ctype = ctypes.c_int
+    else:
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        fn = lib.skrx_arg_sort_f32 if arg else lib.skrx_sort_f32
+        ctype = ctypes.c_float
+    rows, n = arr.shape
+    out = np.zeros((rows, n), dtype=np.int32 if arg else arr.dtype)
+    fn(_ptr(arr, ctype), rows, n, int(bool(descending)), thread_num,
+       _ptr(out, ctypes.c_int if arg else ctype))
+    return out[0] if squeeze else out
+
+
+def sort_native(arr: np.ndarray, descending: bool = False,
+                thread_num: int = 8) -> np.ndarray:
+    """Row-wise (or 1D) full sort — host parity with the reference's
+    templated sort kernels (sort.h:17-170, pyx_sort.pyx:25-187)."""
+    return _sortish(arr, descending, thread_num, arg=False)
+
+
+def arg_sort_native(arr: np.ndarray, descending: bool = False,
+                    thread_num: int = 8) -> np.ndarray:
+    """Row-wise (or 1D) stable argsort (ties keep lower index first)."""
+    return _sortish(arr, descending, thread_num, arg=True)
+
+
 def top_k_native(scores: np.ndarray, top_k: int, thread_num: int = 8):
     """Row-wise (values, indices) top-k (sort.h:17-170 equivalent)."""
     lib = _load()

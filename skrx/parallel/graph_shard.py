@@ -129,7 +129,7 @@ def _stacked_shard_metas(src, dst, w, num_shards, rows_per, block_k,
 
 def make_sharded_propagate(mesh, graph: ShardedGraph,
                            axis: str = DATA_AXIS,
-                           local_impl: str = "segment",
+                           local_impl: str = "auto",
                            block_k: int = 512, window: int = 128,
                            sp_matrix: "sp.spmatrix" = None):
     """Build ``prop(x_padded) -> A @ x`` over ``mesh`` with node rows and
@@ -141,13 +141,23 @@ def make_sharded_propagate(mesh, graph: ShardedGraph,
     the XLA segment-sum — the production TPU configuration; requires the
     original ``sp_matrix`` to build per-shard chunk metadata (the backward
     runs the same kernel over the transpose's shard partition via a
-    custom_vjp, since pallas_call has no automatic AD).
+    custom_vjp, since pallas_call has no automatic AD). ``"auto"`` picks
+    "mxu" on TPU for graphs big enough that the scatter dominates (same
+    policy as the single-chip path, skrx/models/common.resolve_graph_impl)
+    whenever ``sp_matrix`` is provided, "segment" otherwise — so the
+    multi-chip graph path rides the same kernel class as single-chip.
 
     Each call places the edge shards once (device_put with the right
     sharding); the returned closure is differentiable in ``x``.
     """
     from jax import shard_map
 
+    if local_impl == "auto":
+        if sp_matrix is not None:
+            from ..models.common import resolve_graph_impl
+            local_impl = resolve_graph_impl("auto", sp_matrix.nnz)
+        else:
+            local_impl = "segment"
     if local_impl == "mxu":
         return _make_sharded_propagate_mxu(mesh, graph, axis, block_k,
                                            window, sp_matrix)

@@ -140,3 +140,78 @@ def test_cli_routes_tpu_extension_flags_to_runconfig(data_dir, tmp_path,
     # checkpoints were actually written => the flags reached RunConfig
     assert os.path.isdir(os.path.join(ckpt_dir, "BPRMF"))
     assert os.listdir(os.path.join(ckpt_dir, "BPRMF"))
+
+def test_tpe_branch_with_stubbed_hyperopt(data_dir, tmp_path, monkeypatch):
+    """Exercise the real TPE wiring (fmin/early_stop_fn/objective/trial
+    logging) by injecting a minimal hyperopt stub — the image has no
+    hyperopt, so only the grid fallback runs otherwise."""
+    import datetime
+    import itertools
+    import sys as _sys
+    import types
+
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.BPRMF import BPRMF, BPRMFConfig
+    from skrx.utils.hyperopt_driver import HyperOpt
+
+    hp_mod = types.ModuleType("hyperopt")
+
+    class _Choice:
+        def __init__(self, key, values):
+            self.key, self.values = key, list(values)
+
+    hp_mod.hp = types.SimpleNamespace(choice=_Choice)
+    hp_mod.tpe = types.SimpleNamespace(suggest="tpe-suggest")
+
+    class Trials:
+        def __init__(self):
+            self.trials = []
+
+        @property
+        def best_trial(self):
+            return min(self.trials, key=lambda t: t["result"]["loss"])
+
+    hp_mod.Trials = Trials
+
+    def space_eval(space, rval):
+        return {k: space[k].values[v] for k, v in rval.items()}
+
+    hp_mod.space_eval = space_eval
+
+    def fmin(fn, space, algo, max_evals, trials, early_stop_fn, verbose):
+        # deterministic sweep standing in for TPE's sampler: same fn/
+        # early_stop contract as hyperopt.fmin
+        keys = list(space.keys())
+        combos = list(itertools.product(
+            *(range(len(space[k].values)) for k in keys)))
+        for tid, combo in enumerate(combos[:max_evals]):
+            rval = dict(zip(keys, combo))
+            loss = fn(space_eval(space, rval))
+            trials.trials.append({
+                "tid": tid, "result": {"loss": loss},
+                "misc": {"vals": {k: [v] for k, v in rval.items()}},
+                "book_time": datetime.datetime.now(),
+                "refresh_time": datetime.datetime.now()})
+            stopped, _ = early_stop_fn(trials)
+            if stopped:
+                break
+        return trials.best_trial["misc"]["vals"]
+
+    hp_mod.fmin = fmin
+    monkeypatch.setitem(_sys.modules, "hyperopt", hp_mod)
+
+    class TinyConfig(BPRMFConfig):
+        @classmethod
+        def param_space(cls):
+            return {"lr": [0.01, 0.05], "n_dim": [8]}
+
+    cfg = RunConfig(recommender="BPRMF", data_dir=data_dir,
+                    file_column="UIRT", sep="\t", metric=("NDCG",),
+                    top_k=(10,), test_batch_size=16, seed=1, hyperopt=True)
+    driver = HyperOpt(cfg, BPRMF, TinyConfig,
+                      dict(epochs=2, early_stop=2, batch_size=128))
+    assert driver._have_hyperopt, "stub must route through the TPE branch"
+    result = driver.run()
+    assert np.isfinite(result["NDCG@10"])
+    assert driver._best_trial_str is not None
+    assert getattr(driver, "_best_params", None)

@@ -69,3 +69,25 @@ def test_native_topk():
     order = np.argsort(-scores, axis=1, kind="stable")[:, :7]
     np.testing.assert_array_equal(idx, order)
     np.testing.assert_allclose(vals, np.take_along_axis(scores, order, axis=1))
+
+
+def test_native_sort_and_argsort():
+    from skrx.native import arg_sort_native, sort_native
+
+    rng = np.random.default_rng(4)
+    # 2D float, both directions
+    x = rng.standard_normal((6, 33)).astype(np.float32)
+    np.testing.assert_array_equal(sort_native(x), np.sort(x, axis=1))
+    np.testing.assert_array_equal(sort_native(x, descending=True),
+                                  -np.sort(-x, axis=1))
+    np.testing.assert_array_equal(arg_sort_native(x),
+                                  np.argsort(x, axis=1, kind="stable"))
+    np.testing.assert_array_equal(arg_sort_native(x, descending=True),
+                                  np.argsort(-x, axis=1, kind="stable"))
+    # 1D int with ties (stability: lower index first)
+    y = np.array([3, 1, 3, 2, 1, 3], dtype=np.int32)
+    np.testing.assert_array_equal(sort_native(y), np.sort(y))
+    np.testing.assert_array_equal(arg_sort_native(y),
+                                  np.argsort(y, kind="stable"))
+    np.testing.assert_array_equal(arg_sort_native(y, descending=True),
+                                  np.argsort(-y, kind="stable"))
