@@ -22,6 +22,7 @@ inside the same step's item updates, pyx_aobpr_func.pyx:38-41; the batched
 form uses the pre-step values throughout.) Metric parity, not step-for-step
 parity, is the target.
 """
+from functools import partial
 import math
 from typing import Dict
 
@@ -130,7 +131,7 @@ class AOBPR(JaxRecommender):
 
         mesh = self.mesh
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=0)
         def run_epoch(params, users, pos, w, key):
             from .pipeline import _shard_batches
             k_perm, k_rank, k_steps = jax.random.split(key, 3)

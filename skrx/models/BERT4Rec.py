@@ -19,6 +19,7 @@ with dupe_factor pre-duplicated maskings + TF Estimator is replaced by
 ON-DEVICE per-epoch random masking inside the jitted epoch scan — fresh
 masks every epoch (what dupe_factor approximates), no disk artifacts.
 """
+from functools import partial
 from typing import Dict
 
 import jax
@@ -236,7 +237,7 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
         bsz = cfg.batch_size
         mesh = self.mesh
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, windows, w, key):
             from .pipeline import _shard_batches
             k_perm, k_steps = jax.random.split(key)
@@ -283,8 +284,6 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
         def predict_fn(p, users):
             logits = user_vec_fn(p, users) @ p["tok_emb"].T + p["out_bias"]
             return logits[:, :num_items]  # scores over real items only
-
-        from functools import partial
 
         @partial(jax.jit, static_argnames=("width",))
         def score_chunk_fn(p, uv, lo, *, width):

@@ -245,9 +245,14 @@ class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
         # (1 - min(1, epoch/warmup)) scales the raw term (DENS.py:246)
         anneal = jnp.asarray(1.0 - min(1.0, epoch / max(self.config.warmup, 1)),
                              jnp.float32)
-        carry = (self.params, self.opt_state, key, anneal)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step sampling. Sharing one key
+        # would also alias a donated carry leaf with the non-donated epoch
+        # key argument (f(a, donate(a)) — rejected by the runtime).
+        k_epoch, k_carry = jax.random.split(key)
+        carry = (self.params, self.opt_state, k_carry, anneal)
         (self.params, self.opt_state, _, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_with_key)
+            k_epoch, carry, self._step_with_key)
         return float(loss)
 
     def evaluate(self, test_users=None):

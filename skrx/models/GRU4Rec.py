@@ -18,6 +18,7 @@ states). Pad steps are skipped with `lax.cond` so the step count is bucketed
 to avoid recompilation. Prediction runs the GRU over every user's padded
 sequence in one batched scan.
 """
+from functools import partial
 import math
 from typing import Dict, List
 
@@ -215,7 +216,7 @@ class GRU4Rec(JaxRecommender):
 
         mesh = self.mesh
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, in_steps, out_steps, resets, valids,
                       key):
             from .pipeline import _shard_batches

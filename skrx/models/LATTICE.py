@@ -259,10 +259,16 @@ class LATTICE(EpochTrainedRecommender):
 
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
+        # independent streams: the pipeline consumes k_epoch (shuffle /
+        # negatives); the carry key drives in-step dropout. Sharing one key
+        # would also alias a donated carry leaf with the non-donated epoch
+        # key argument (f(a, donate(a)) — rejected by the runtime).
+        k_epoch, k_carry = jax.random.split(key)
         item_adj = jnp.zeros((self.num_items, self.num_items), jnp.float32)
-        carry = (self.params, self.opt_state, item_adj, jnp.asarray(True), key)
+        carry = (self.params, self.opt_state, item_adj, jnp.asarray(True),
+                 k_carry)
         (self.params, self.opt_state, _, _, _), loss = self.pipeline.run_epoch(
-            key, carry, self._step_full)
+            k_epoch, carry, self._step_full)
         return float(loss)
 
     def evaluate(self, test_users=None):

@@ -17,6 +17,7 @@ state (pad column removed).
 TPU re-design: negatives are sampled on device and the whole epoch is one
 jitted `lax.scan`.
 """
+from functools import partial
 from typing import Dict
 
 import jax
@@ -197,7 +198,7 @@ class SASRec(CachedUserVecChunkMixin, JaxRecommender):
         nb, bsz = self._num_batches, self._batch_size
         mesh = self.mesh
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1, 2))
         def run_epoch(key, params, opt_state, users, seqs, poss, w, pos_table):
             k_perm, k_neg, k_steps = jax.random.split(key, 3)
             s = users.shape[0]
@@ -231,8 +232,6 @@ class SASRec(CachedUserVecChunkMixin, JaxRecommender):
         @jax.jit
         def predict_fn(p, users):
             return user_vec_fn(p, users) @ item_table(p)[:-1].T  # pad col removed
-
-        from functools import partial
 
         @partial(jax.jit, static_argnames=("width",))
         def score_chunk_fn(p, uv, lo, *, width):

@@ -19,6 +19,7 @@ the per-session adjacency is scattered ON DEVICE inside the jitted step, and
 each epoch is one `lax.scan` over the reference's two-level shuffled,
 drop-last batch schedule.
 """
+from functools import partial
 import math
 from typing import Dict, List
 
@@ -213,7 +214,7 @@ class SRGNN(JaxRecommender):
 
         mesh = self.mesh
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, order):
             from .pipeline import _shard_batches
             nb = order.shape[0] // bsz

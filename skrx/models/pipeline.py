@@ -108,7 +108,12 @@ class PairwiseEpochPipeline:
             return self._run_epoch_chunked(key, carry, train_step)
         fn = self._compiled.get(train_step)
         if fn is None:
-            fn = jax.jit(partial(self._epoch_impl, train_step))
+            # donate the carry (params/opt_state): the epoch output reuses
+            # its HBM instead of holding live input + output copies of the
+            # embedding tables across the jit boundary. Callers always
+            # reassign from the returned carry.
+            fn = jax.jit(partial(self._epoch_impl, train_step),
+                         donate_argnums=1)
             self._compiled[train_step] = fn
         carry, loss = fn(key, carry, self._users, self._pos, self._w,
                          self._pos_table, *self._extra)
@@ -156,7 +161,7 @@ class PairwiseEpochPipeline:
                 c, losses = jax.lax.scan(body, c, chunk)
                 return c, jnp.sum(losses)
 
-            fns = (prep, jax.jit(chunk_impl))
+            fns = (prep, jax.jit(chunk_impl, donate_argnums=0))
             self._compiled[("chunked", train_step)] = fns
         prep, chunk_fn = fns
 
@@ -245,7 +250,8 @@ class InteractionEpochPipeline:
             return self._run_epoch_chunked(key, carry, train_step)
         fn = self._compiled.get(train_step)
         if fn is None:
-            fn = jax.jit(partial(self._epoch_impl, train_step))
+            fn = jax.jit(partial(self._epoch_impl, train_step),
+                         donate_argnums=1)
             self._compiled[train_step] = fn
         return fn(key, carry, self._users, self._pos, self._w)
 
@@ -280,7 +286,7 @@ class InteractionEpochPipeline:
                 c, losses = jax.lax.scan(body, c, chunk)
                 return c, jnp.sum(losses)
 
-            fns = (prep, jax.jit(chunk_impl))
+            fns = (prep, jax.jit(chunk_impl, donate_argnums=0))
             self._compiled[("chunked", train_step)] = fns
         prep, chunk_fn = fns
         batch_data = prep(key, self._users, self._pos, self._w)
@@ -338,7 +344,8 @@ class UserVecEpochPipeline:
     def run_epoch(self, key: jax.Array, carry, train_step: Callable):
         fn = self._compiled.get(train_step)
         if fn is None:
-            fn = jax.jit(partial(self._epoch_impl, train_step))
+            fn = jax.jit(partial(self._epoch_impl, train_step),
+                         donate_argnums=1)
             self._compiled[train_step] = fn
         return fn(key, carry, self._users, self._w, self._pos_table)
 

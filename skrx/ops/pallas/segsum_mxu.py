@@ -122,7 +122,8 @@ def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 
 
 def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
-                       num_nodes: int, block_k: int = 512, window: int = 128,
+                       num_nodes: int, block_k: Optional[int] = None,
+                       window: Optional[int] = None,
                        msg_dtype=jnp.float32,
                        num_src_nodes: Optional[int] = None) -> MXUGraph:
     """Build fwd (A) + bwd (A^T) chunk metadata from COO edges.
@@ -131,7 +132,14 @@ def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     Rectangular operators (e.g. the user x item interaction matrix R) pass
     ``num_src_nodes`` != ``num_nodes``: the forward maps (num_src_nodes, D)
     inputs to (num_nodes, D) outputs and the backward the reverse.
+    ``block_k``/``window`` default to the measured autotune winners
+    (skrx/ops/pallas/autotune.py) for this edge count.
     """
+    if block_k is None or window is None:
+        from .autotune import pick_block_sizes
+        bk, win = pick_block_sizes(len(src), 64)
+        block_k = bk if block_k is None else block_k
+        window = win if window is None else window
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
@@ -155,8 +163,8 @@ def transpose_mxu_graph(graph: MXUGraph) -> MXUGraph:
                     graph.msg_dtype)
 
 
-def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: int = 512,
-                             window: int = 128,
+def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: Optional[int] = None,
+                             window: Optional[int] = None,
                              msg_dtype=jnp.float32) -> MXUGraph:
     """Lower a square scipy sparse matrix A so propagate_mxu(g, x) == A @ x.
 
@@ -263,8 +271,9 @@ class WeightedMXUGraph(NamedTuple):
 
 
 def weighted_mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray,
-                                num_nodes: int, block_k: int = 512,
-                                window: int = 128, msg_dtype=jnp.float32,
+                                num_nodes: int, block_k: Optional[int] = None,
+                                window: Optional[int] = None,
+                                msg_dtype=jnp.float32,
                                 num_src_nodes: Optional[int] = None
                                 ) -> WeightedMXUGraph:
     ones = np.ones(len(src), np.float32)

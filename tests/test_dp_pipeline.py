@@ -66,3 +66,37 @@ def test_dp_pipeline_matches_single_device():
     for k in single_params:
         np.testing.assert_allclose(dp_params[k], single_params[k], rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_epoch_carry_buffers_are_donated():
+    """run_epoch donates the carry: the input params/opt_state buffers are
+    invalidated (their HBM is reused by the output) instead of staying live
+    alongside the updated copy."""
+    train = _Train()
+    pipe = PairwiseEpochPipeline(train, batch_size=256, num_neg=1)
+    params = {"user_emb": 0.01 * jax.random.normal(jax.random.key(0), (64, 16)),
+              "item_emb": 0.01 * jax.random.normal(jax.random.key(1), (96, 16))}
+    opt = optax.adam(0.01)
+
+    def step(carry, batch):
+        p, s = carry
+        users, pos, neg, w = batch
+
+        def loss_fn(p):
+            ue = p["user_emb"][users]
+            pe, ne = p["item_emb"][pos], p["item_emb"][neg[:, 0]]
+            return jnp.sum(bpr_loss(jnp.sum(ue * pe, -1),
+                                    jnp.sum(ue * ne, -1)) * w)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, up), s), loss
+
+    old_table = params["user_emb"]
+    carry, loss = pipe.run_epoch(jax.random.key(0), (params, opt.init(params)),
+                                 step)
+    assert np.isfinite(float(loss))
+    assert old_table.is_deleted()
+    # the returned carry is live and usable for the next epoch
+    carry, loss = pipe.run_epoch(jax.random.key(1), carry, step)
+    assert np.isfinite(float(loss))

@@ -362,3 +362,25 @@ def test_empty_edge_graph_is_zero_operator():
                            window=16)
     out = np.asarray(propagate_mxu(g, jnp.ones((50, 4))))
     np.testing.assert_array_equal(out, np.zeros((50, 4)))
+
+
+def test_autotune_pick_and_default_wiring():
+    from skrx.ops.pallas.autotune import (DEFAULT_BLOCK_K, DEFAULT_WINDOW,
+                                          pick_block_sizes)
+    # nearest measured winner; window=128 everywhere on v5e
+    assert pick_block_sizes(100_000, 64) == (512, 128)
+    assert pick_block_sizes(2_000_000, 64) == (1024, 128)
+    assert pick_block_sizes(8_000_000, 64) == (512, 128)
+    assert DEFAULT_WINDOW == 128 and DEFAULT_BLOCK_K == 512
+
+    # default-arg graph build resolves via the autotune table and matches
+    # the explicitly-built graph numerically
+    mat = _random_sparse(90, 0.08, 3)
+    x = np.random.default_rng(3).standard_normal((90, 8)).astype(np.float32)
+    g_auto = mxu_graph_from_sp_matrix(mat)
+    bk, win = pick_block_sizes(mat.nnz, 8)
+    assert (g_auto.fwd.block_k, g_auto.fwd.window) == (bk, win)
+    g_exp = mxu_graph_from_sp_matrix(mat, block_k=bk, window=win)
+    np.testing.assert_allclose(
+        np.asarray(propagate_mxu(g_auto, jnp.asarray(x))),
+        np.asarray(propagate_mxu(g_exp, jnp.asarray(x))), rtol=1e-6)
