@@ -21,7 +21,8 @@ class BatchIterator:
         batch_size: samples per batch.
         shuffle: reshuffle at every epoch (fresh permutation per ``__iter__``).
         drop_last: drop the final incomplete batch.
-        rng: optional ``np.random.Generator`` for reproducible shuffles.
+        rng: optional ``np.random.Generator`` for shuffles independent of the
+            shared seeded host stream (skrx.utils.random.host_rng).
     """
 
     def __init__(self, *arrays, batch_size: int = 1024, shuffle: bool = False,
@@ -38,7 +39,9 @@ class BatchIterator:
             raise ValueError("'batch_size' must be a positive integer")
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self._rng = rng if rng is not None else np.random.default_rng()
+        # None -> fetch the shared seeded host generator lazily at shuffle
+        # time (set_host_seed may rebind it after this iterator is built)
+        self._rng = rng
 
     def __len__(self):
         if self.drop_last:
@@ -47,7 +50,11 @@ class BatchIterator:
 
     def __iter__(self):
         if self.shuffle:
-            order = self._rng.permutation(self._n)
+            rng = self._rng
+            if rng is None:
+                from ..utils.random import host_rng
+                rng = host_rng()
+            order = rng.permutation(self._n)
             arrays = [a[order] for a in self._arrays]
         else:
             arrays = self._arrays

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops import get_initializer, sigmoid_cross_entropy
+from ..ops import get_initializer, sigmoid_cross_entropy, torch_layer_default
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .common import (CachedUserVecChunkMixin, EpochTrainedRecommender,
@@ -68,20 +68,24 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
         n_items_pad = self.dataset.num_items + 1  # +1 pad row
 
         init = get_initializer("normal")
-        keys = jax.random.split(jax.random.key(run_config.seed), 10)
         d, L = cfg.embed_size, cfg.seq_L
+        keys = jax.random.split(jax.random.key(run_config.seed), 7 + 2 * L)
         fc1_in = cfg.nv * d + cfg.nh * L
-        he = get_initializer("he_uniform")
+        # conv/fc towers stay at torch's default layer init: the reference's
+        # reset_parameters only re-inits the embedding tables (Caser.py:104-115)
         self.params = {
             "user_emb": init(keys[0], (self.num_users, d)),
             "item_emb": init(keys[1], (n_items_pad, d)),
-            "conv_v": he(keys[2], (L, 1, cfg.nv)),      # (h, w=1, out)
-            "conv_v_b": jnp.zeros((cfg.nv,)),
-            "conv_h": [he(keys[3 + i], (i + 1, d, cfg.nh)) for i in range(L)],
-            "conv_h_b": [jnp.zeros((cfg.nh,)) for _ in range(L)],
-            "fc1_w": he(keys[8], (fc1_in, d)),
-            "fc1_b": jnp.zeros((d,)),
-            "W2": init(keys[9], (n_items_pad, 2 * d)),
+            # (h, w=1, out); conv fan_in = in_ch * kh * kw = L
+            "conv_v": torch_layer_default(keys[2], (L, 1, cfg.nv), L),
+            "conv_v_b": torch_layer_default(keys[3], (cfg.nv,), L),
+            "conv_h": [torch_layer_default(keys[7 + i], (i + 1, d, cfg.nh),
+                                           (i + 1) * d) for i in range(L)],
+            "conv_h_b": [torch_layer_default(keys[7 + L + i], (cfg.nh,),
+                                             (i + 1) * d) for i in range(L)],
+            "fc1_w": torch_layer_default(keys[4], (fc1_in, d), fc1_in),
+            "fc1_b": torch_layer_default(keys[5], (d,), fc1_in),
+            "W2": init(keys[6], (n_items_pad, 2 * d)),
             "b2": jnp.zeros((n_items_pad,)),
         }
         self.optimizer = adam_l2(cfg.lr, cfg.l2_reg)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 from jax.nn import initializers as jinit
 
-__all__ = ["get_initializer", "InitArg"]
+__all__ = ["get_initializer", "InitArg", "torch_layer_default"]
 
 
 class InitArg:
@@ -55,6 +55,17 @@ _INITIALIZERS = {
     "zeros": _zeros,
     "ones": _ones,
 }
+
+
+def torch_layer_default(key, shape, fan_in: int, dtype=jnp.float32):
+    """torch's default nn.Linear / nn.Conv2d init: U(-1/sqrt(fan_in),
+    1/sqrt(fan_in)) for both weight (kaiming_uniform with a=sqrt(5)) and
+    bias. Models whose reference counterpart leaves a layer at torch
+    defaults (e.g. Caser's conv/fc towers — _Caser.reset_parameters only
+    re-inits embeddings, Caser.py:104-115) must use this for init parity.
+    """
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
 def get_initializer(init_method: str):

@@ -12,7 +12,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["randint_choice", "batch_randint_choice", "set_host_seed"]
+__all__ = ["randint_choice", "batch_randint_choice", "set_host_seed",
+           "host_rng"]
 
 _rng = np.random.default_rng(2020)  # reference seeds its mt19937 with 2020 (randint.h:20)
 
@@ -20,6 +21,17 @@ _rng = np.random.default_rng(2020)  # reference seeds its mt19937 with 2020 (ran
 def set_host_seed(seed: int) -> None:
     global _rng
     _rng = np.random.default_rng(seed)
+
+
+def host_rng() -> np.random.Generator:
+    """The shared, seeded host-side generator (reset via set_host_seed).
+
+    Every host-side consumer (sampling here, BatchIterator shuffles) draws
+    from this one stream so a seeded run is bit-reproducible across
+    processes — the reference gets the same property from run_skrec.py:8's
+    global numpy seeding.
+    """
+    return _rng
 
 
 def randint_choice(high: int, size: int = 1, replace: bool = True,
