@@ -19,7 +19,7 @@ import numpy as np
 import optax
 import scipy.sparse as sp
 
-from ..ops import get_initializer
+from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
@@ -83,11 +83,14 @@ class SelfCF(EpochTrainedRecommender):
         init = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 4)
         d = cfg.embed_dim
+        # predictor stays at torch's default Linear init — the reference
+        # never re-inits it (SelfCF.py:203); the nonzero bias measurably
+        # speeds up the BYOL dynamic
         self.params = {
             "user_emb": init(keys[0], (self.num_users, d)),
             "item_emb": init(keys[1], (self.num_items, d)),
-            "pred_w": init(keys[2], (d, d)),
-            "pred_b": jnp.zeros((d,), jnp.float32),
+            "pred_w": torch_layer_default(keys[2], (d, d), d),
+            "pred_b": torch_layer_default(keys[3], (d,), d),
         }
         self.optimizer = optax.adam(cfg.lr)
         self.pipeline = InteractionEpochPipeline(self.dataset.train_data,
