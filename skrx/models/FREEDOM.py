@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops import get_initializer
+from ..ops import get_initializer, torch_layer_default
 from ..ops.mm_graph import cached_mm_edges
 from ..ops.sampling import gumbel_topk_without_replacement
 from ..run_config import RunConfig
@@ -182,17 +182,22 @@ class FREEDOM(ChunkedDotPredictMixin, EpochTrainedRecommender):
             "user_emb": xavier(keys[0], (num_users, d)),
             "item_emb": xavier(keys[1], (num_items, d)),
         }
-        glorot = jax.nn.initializers.glorot_uniform()
+        # trs Linears keep torch's default U(+-1/sqrt(fan_in)) weight and
+        # bias — the reference only xavier-inits the embedding tables
+        # (FREEDOM.py:95-97)
+        def lin(key, d_in, d_out):
+            kw, kb = jax.random.split(key)
+            return {"w": torch_layer_default(kw, (d_in, d_out), d_in),
+                    "b": torch_layer_default(kb, (d_out,), d_in)}
+
         if v_feat is not None:
             self.params["v_feat"] = jnp.asarray(v_feat.astype(np.float32))
-            self.params["image_trs"] = {
-                "w": glorot(keys[2], (v_feat.shape[1], cfg.feat_dim)),
-                "b": jnp.zeros((cfg.feat_dim,))}
+            self.params["image_trs"] = lin(keys[2], v_feat.shape[1],
+                                           cfg.feat_dim)
         if t_feat is not None:
             self.params["t_feat"] = jnp.asarray(t_feat.astype(np.float32))
-            self.params["text_trs"] = {
-                "w": glorot(keys[3], (t_feat.shape[1], cfg.feat_dim)),
-                "b": jnp.zeros((cfg.feat_dim,))}
+            self.params["text_trs"] = lin(keys[3], t_feat.shape[1],
+                                          cfg.feat_dim)
         has_v, has_t = v_feat is not None, t_feat is not None
 
         self.optimizer = optax.adam(cfg.lr)

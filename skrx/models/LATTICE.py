@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops import get_initializer
+from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
@@ -130,7 +130,6 @@ class LATTICE(EpochTrainedRecommender):
         self._text_original = original_adj(t_feat, "text") if has_t else None
 
         xavier = get_initializer("xavier_uniform")
-        glorot = jax.nn.initializers.glorot_uniform()
         keys = jax.random.split(jax.random.key(run_config.seed), 8)
         d = cfg.embed_dim
         self.params = {
@@ -138,27 +137,29 @@ class LATTICE(EpochTrainedRecommender):
             "item_emb": xavier(keys[1], (num_items, d)),
             "modal_weight": jnp.asarray([0.5, 0.5]),
         }
+        # trs and ngcf Linears keep torch's default U(+-1/sqrt(fan_in))
+        # weight and bias — the reference only xavier-inits the embedding
+        # tables (LATTICE.py:118-119)
+        def lin(key, d_in, d_out):
+            kw, kb = jax.random.split(key)
+            return {"w": torch_layer_default(kw, (d_in, d_out), d_in),
+                    "b": torch_layer_default(kb, (d_out,), d_in)}
+
         if has_v:
             self.params["v_feat"] = jnp.asarray(v_feat.astype(np.float32))
-            self.params["image_trs"] = {
-                "w": glorot(keys[2], (v_feat.shape[1], cfg.feat_embed_dim)),
-                "b": jnp.zeros((cfg.feat_embed_dim,))}
+            self.params["image_trs"] = lin(keys[2], v_feat.shape[1],
+                                           cfg.feat_embed_dim)
         if has_t:
             self.params["t_feat"] = jnp.asarray(t_feat.astype(np.float32))
-            self.params["text_trs"] = {
-                "w": glorot(keys[3], (t_feat.shape[1], cfg.feat_embed_dim)),
-                "b": jnp.zeros((cfg.feat_embed_dim,))}
+            self.params["text_trs"] = lin(keys[3], t_feat.shape[1],
+                                          cfg.feat_embed_dim)
         if cfg.cf_model == "ngcf":
             sizes = [d] + list(cfg.weight_size)
             self.params["gc"] = [
-                {"w": glorot(jax.random.fold_in(keys[4], i),
-                             (sizes[i], sizes[i + 1])),
-                 "b": jnp.zeros((sizes[i + 1],))}
+                lin(jax.random.fold_in(keys[4], i), sizes[i], sizes[i + 1])
                 for i in range(len(cfg.weight_size))]
             self.params["bi"] = [
-                {"w": glorot(jax.random.fold_in(keys[5], i),
-                             (sizes[i], sizes[i + 1])),
-                 "b": jnp.zeros((sizes[i + 1],))}
+                lin(jax.random.fold_in(keys[5], i), sizes[i], sizes[i + 1])
                 for i in range(len(cfg.weight_size))]
 
         self.optimizer = optax.adam(cfg.lr)

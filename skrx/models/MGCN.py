@@ -25,7 +25,7 @@ import numpy as np
 import optax
 import scipy.sparse as sp
 
-from ..ops import get_initializer
+from ..ops import get_initializer, torch_layer_default
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
@@ -148,9 +148,13 @@ class MGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         d = cfg.embed_dim
 
         def lin(key, d_in, d_out, bias=True):
-            p = {"w": glorot(key, (d_in, d_out))}
+            # the reference re-inits only the embedding tables
+            # (MGCN.py:140-142); trs/gate/query Linears keep torch's default
+            # U(+-1/sqrt(fan_in)) weight AND bias
+            kw, kb = jax.random.split(key)
+            p = {"w": torch_layer_default(kw, (d_in, d_out), d_in)}
             if bias:
-                p["b"] = jnp.zeros((d_out,))
+                p["b"] = torch_layer_default(kb, (d_out,), d_in)
             return p
 
         self.params = {

@@ -26,7 +26,7 @@ import numpy as np
 import optax
 import scipy.sparse as sp
 
-from ..ops import get_initializer
+from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
@@ -131,7 +131,11 @@ class SLMRec(EpochTrainedRecommender):
         fused_dim = d * (n_modal + 1) if cfg.mm_fusion_mode == "concat" else d
 
         def lin(key, d_in, d_out):
-            return {"w": glorot(key, (d_in, d_out)), "b": jnp.zeros((d_out,))}
+            # reference re-inits only the WEIGHT to xavier (SLMRec.py:114-119,
+            # 482-486); biases keep torch's default U(+-1/sqrt(fan_in))
+            kw, kb = jax.random.split(key)
+            return {"w": glorot(kw, (d_in, d_out)),
+                    "b": torch_layer_default(kb, (d_out,), d_in)}
 
         self.params = {
             "user_emb": xavier(keys[0], (num_users, d)),
