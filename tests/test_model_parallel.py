@@ -187,3 +187,20 @@ def test_eval_mode_auto_threshold():
     auto = RankingEvaluator(train, test, chunk_threshold=50, chunk_size=33,
                             **kwargs).evaluate(model)
     np.testing.assert_allclose(auto["NDCG@10"], full["NDCG@10"], rtol=1e-6)
+
+
+def test_fpmc_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
+    """FPMC (sequential MF, four embedding tables) through the same
+    _finalize_setup_flat TP routing: a (4, 2) mesh must reproduce the
+    single-device trajectory — TP is a generic capability of the shared
+    harness, not a per-model special case."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.FPMC import FPMC
+
+    hp = dict(lr=0.05, reg=0.01, embed_size=16, batch_size=128, epochs=2,
+              early_stop=5)
+    _, r1 = _fit(FPMC, data_dir, hp)
+    m2, r2 = _fit(FPMC, data_dir, hp, mesh_shape=(4, 2))
+    assert not m2._use_flat, "TP must route away from the flat raveled step"
+    for k in r1.results:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-4, atol=1e-7)
