@@ -20,6 +20,21 @@ from ..run_config import RunConfig
 from ..utils import Config, Logger, slugify
 from ..version import __version__
 
+
+def resolve_eval_batch_size(batch_size: Union[int, str],
+                            num_items: int) -> int:
+    """Resolve RunConfig.test_batch_size. "auto" picks the largest
+    power-of-two batch whose (B, num_items) f32 score block stays under
+    ~256 MB, clamped to [64, 4096] (eval throughput saturates >= 1024 at
+    N=40k and metrics are batch-size invariant — BASELINE.md)."""
+    if not isinstance(batch_size, str):
+        return int(batch_size)
+    budget_rows = (256 * 2 ** 20) // max(4 * num_items, 1)
+    b = 64
+    while b * 2 <= min(budget_rows, 4096):
+        b *= 2
+    return b
+
 __all__ = ["AbstractRecommender", "JaxRecommender"]
 
 
@@ -39,7 +54,8 @@ class AbstractRecommender:
             self.dataset.train_data.to_user_dict(),
             self.dataset.test_data.to_user_dict(),
             metric=run_config.metric, top_k=run_config.top_k,
-            batch_size=run_config.test_batch_size,
+            batch_size=resolve_eval_batch_size(run_config.test_batch_size,
+                                               self.dataset.num_items),
             num_thread=run_config.test_thread, mesh=mesh,
             eval_mode=getattr(run_config, "eval_mode", "auto"),
             chunk_size=getattr(run_config, "eval_chunk_size", 65536),

@@ -25,7 +25,11 @@ class RunConfig(Config):
     gpu_id: Union[int, str] = 0
     metric: Tuple[str, ...] = ("Precision", "Recall", "MAP", "NDCG")
     top_k: Tuple[int, ...] = (10, 20, 30, 40, 50)
-    test_batch_size: int = 64
+    # int (reference default 64) or "auto": pick the largest power-of-two
+    # batch whose (B, num_items) score block stays <= ~256 MB, clamped to
+    # [64, 4096]. Metrics are batch-size invariant; "auto" only changes
+    # throughput (eval saturates >= B=1024 at N=40k — BASELINE.md).
+    test_batch_size: Union[int, str] = 64
     # Host threads for the input pipeline (the reference uses this for its
     # C++ ranking thread pool; evaluation here runs on device).
     test_thread: int = 4
@@ -68,7 +72,11 @@ class RunConfig(Config):
             self.top_k = (self.top_k,)
         self.top_k = tuple(int(k) for k in self.top_k)
         assert all(k > 0 for k in self.top_k)
-        assert self.test_batch_size > 0
+        if isinstance(self.test_batch_size, str):
+            assert self.test_batch_size == "auto", \
+                "test_batch_size must be a positive int or 'auto'"
+        else:
+            assert self.test_batch_size > 0
         assert self.test_thread > 0
         assert isinstance(self.seed, int)
         assert self.compute_dtype in ("float32", "bfloat16")
