@@ -45,9 +45,13 @@ def _graph_and_batch(seed=0):
     return adj, users, pos, neg
 
 
-def bench_reference_cpu(adj, users, pos, neg, n_steps=3):
+def bench_reference_cpu(adj, users, pos, neg, n_steps=5):
     """Reference-architecture LightGCN train step on torch CPU."""
     import torch
+    # explicit intra-op thread count: the CPU baseline swings ~2.5x when
+    # other processes contend for this 2-core host, so make the
+    # configuration at least deterministic
+    torch.set_num_threads(os.cpu_count() or 1)
 
     coo = adj.tocoo()
     a = torch.sparse_coo_tensor(
