@@ -187,9 +187,13 @@ class RankingEvaluator:
         if fns is not None:
             return fns
         from ..ops.metrics import (hits_against_padded_truth, mask_items,
-                                   ranking_metrics_from_hits)
+                                   ranking_metrics_from_hits,
+                                   topk_scores_and_indices)
         k = self.max_top
         metrics = self.metrics
+        # the Pallas kernel is not SPMD-partitionable: route through it only
+        # on single-device evaluators (sharded chunks keep the XLA path)
+        routed = self.mesh is None
 
         @jax.jit
         def merge(best_vals, best_idx, scores, train_table, offset):
@@ -198,8 +202,12 @@ class RankingEvaluator:
             # negative indices would WRAP in the scatter; send both
             # below-chunk and above-chunk ids out of bounds (mode='drop')
             shifted = jnp.where(shifted < 0, width, shifted)
-            scores = mask_items(scores, shifted)
-            vals, idx = jax.lax.top_k(scores, min(k, scores.shape[1]))
+            if routed:
+                vals, idx = topk_scores_and_indices(scores, min(k, width),
+                                                    mask_table=shifted)
+            else:
+                vals, idx = jax.lax.top_k(mask_items(scores, shifted),
+                                          min(k, width))
             idx = idx + offset
             all_vals = jnp.concatenate([best_vals, vals], axis=1)
             all_idx = jnp.concatenate([best_idx, idx], axis=1)
@@ -400,7 +408,7 @@ class RankingEvaluator:
                 test_len_j = jax.device_put(test_len_j, shard)
             per_user = eval_score_matrix_device(
                 scores, train_table, test_table, test_len_j, self.metrics,
-                self.max_top)
+                self.max_top, use_pallas=self.mesh is None)
             weight = (np.arange(bs) < n_real) & (test_len > 0)
             batch_sum = jnp.sum(
                 per_user * jnp.asarray(weight.astype(np.float32))[:, None, None],

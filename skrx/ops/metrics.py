@@ -36,6 +36,7 @@ from jax import lax
 
 __all__ = ["METRIC2ID", "ID2METRIC", "ranking_metrics_from_hits",
            "topk_from_scores", "mask_items", "masked_topk_indices",
+           "topk_scores_and_indices",
            "eval_score_matrix_device", "hits_against_padded_truth"]
 
 METRIC2ID = {"Precision": 1, "Recall": 2, "MAP": 3, "NDCG": 4, "MRR": 5}
@@ -52,7 +53,11 @@ def mask_items(scores: jnp.ndarray, item_table: jnp.ndarray,
     return scores.at[rows, item_table].set(fill_value, mode="drop")
 
 
-_BLOCKWISE_TOPK_MIN_N = 131072  # catalogs beyond this stream through Pallas
+# catalogs at/beyond this stream through the Pallas threshold-pruned kernel:
+# measured wins from ~32k items (1.8x at (1024, 41k) masked, 5.8x at
+# (64, 1M) — topk_blocks.py header); below it lax.top_k is already cheap
+# and the prune threshold loses its bite
+_BLOCKWISE_TOPK_MIN_N = 32768
 
 
 def _pad_rank_sentinel(idx: jnp.ndarray, k: int, num_items: int):
@@ -69,39 +74,54 @@ def _pad_rank_sentinel(idx: jnp.ndarray, k: int, num_items: int):
 
 
 def _use_blockwise(n: int, k: int) -> bool:
-    # the threshold-prune needs n_blocks >= k block maxima to get a finite
-    # tau; below that the kernel degrades to the naive k*N argmax loop
-    return (n >= _BLOCKWISE_TOPK_MIN_N and n // 4096 >= k
+    # the threshold-prune needs n/sub_n >= k sub-block maxima (sub_n=128)
+    # for a finite tau, with margin so tau stays tight; below that the
+    # kernel degrades toward the naive k*N argmax loop
+    return (n >= _BLOCKWISE_TOPK_MIN_N and n // 128 >= 2 * k
             and jax.default_backend() == "tpu")
 
 
-def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Exact top-k item indices per row (descending score). Very large
-    catalogs use the Pallas blockwise streaming kernel
-    (skrx/ops/pallas/topk_blocks.py) on TPU. Catalogs smaller than k pad
-    the tail ranks with a never-hit sentinel."""
+def topk_scores_and_indices(scores: jnp.ndarray, k: int,
+                            mask_table: jnp.ndarray = None,
+                            allow_pallas: bool = True
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (values, indices) top-k per row, with ``mask_table`` items
+    excluded when given (out-of-range table entries are padding and ignored).
+
+    Large catalogs route to the Pallas threshold-pruned kernel on TPU with
+    the masking fused into the selection (2.5x over the XLA scatter +
+    lax.top_k path at (1024, 41k), 5.6x at (64, 1M) — topk_blocks.py);
+    small ones use plain (masked) ``lax.top_k``. Catalogs smaller than k
+    pad the tail ranks with -inf values and a never-hit sentinel id.
+    ``allow_pallas=False`` forces the XLA path — callers evaluating over a
+    multi-device mesh must use it (Pallas calls aren't SPMD-partitionable;
+    XLA would replicate the sharded operands around them)."""
     n = scores.shape[1]
-    if _use_blockwise(n, k):
+    if allow_pallas and _use_blockwise(n, k):
         from .pallas import blockwise_topk
-        _, idx = blockwise_topk(scores, k)
-        return idx
-    _, idx = lax.top_k(scores, min(k, n))
-    return _pad_rank_sentinel(idx, k, n)
+        return blockwise_topk(scores, k, mask_table=mask_table)
+    if mask_table is not None:
+        scores = mask_items(scores, mask_table)
+    vals, idx = lax.top_k(scores, min(k, n))
+    if idx.shape[1] < k:
+        fill = jnp.full((vals.shape[0], k - vals.shape[1]), -jnp.inf,
+                        vals.dtype)
+        vals = jnp.concatenate([vals, fill], axis=1)
+        idx = _pad_rank_sentinel(idx, k, n)
+    return vals, idx
+
+
+def topk_from_scores(scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k item indices per row (descending score); see
+    :func:`topk_scores_and_indices` for the routing."""
+    return topk_scores_and_indices(scores, k)[1]
 
 
 def masked_topk_indices(scores: jnp.ndarray, mask_table: jnp.ndarray,
                         k: int) -> jnp.ndarray:
-    """Top-k indices with ``mask_table`` items excluded. Huge catalogs fuse
-    the -inf masking into the Pallas streaming kernel (7x over the XLA
-    scatter + lax.top_k path at (64, 1M) — see topk_blocks.py); small ones
-    use the plain masked lax.top_k."""
-    n = scores.shape[1]
-    if _use_blockwise(n, k):
-        from .pallas import blockwise_topk
-        _, idx = blockwise_topk(scores, k, mask_table=mask_table)
-        return idx
-    _, idx = lax.top_k(mask_items(scores, mask_table), min(k, n))
-    return _pad_rank_sentinel(idx, k, n)
+    """Top-k indices with ``mask_table`` items excluded; see
+    :func:`topk_scores_and_indices` for the routing."""
+    return topk_scores_and_indices(scores, k, mask_table=mask_table)[1]
 
 
 def hits_against_padded_truth(topk_items: jnp.ndarray,
@@ -143,22 +163,26 @@ def ranking_metrics_from_hits(hits: jnp.ndarray, truth_len: jnp.ndarray,
     return jnp.stack([by_id[m] for m in metric_ids], axis=1)
 
 
-@partial(jax.jit, static_argnames=("metric_ids", "top_k"))
+@partial(jax.jit, static_argnames=("metric_ids", "top_k", "use_pallas"))
 def eval_score_matrix_device(scores: jnp.ndarray,
                              train_table: jnp.ndarray,
                              test_table: jnp.ndarray,
                              test_len: jnp.ndarray,
                              metric_ids: Tuple[int, ...],
-                             top_k: int) -> jnp.ndarray:
+                             top_k: int,
+                             use_pallas: bool = True) -> jnp.ndarray:
     """Fused evaluation of one user batch, entirely on device.
 
     scores: (B, N) float32 full-catalog scores.
     train_table: (B, maxTr) int32 train items, padded with an id >= N.
     test_table: (B, maxTe) int32 test items, padded with an id >= N.
     test_len: (B,) int32.
+    use_pallas: route big catalogs through the Pallas top-k kernel; pass
+        False when the operands are sharded over a multi-device mesh.
     Returns (B, n_metrics, top_k) float32 — same numbers the reference's
     ``eval_score_matrix`` produces as (B, n_metrics*top_k).
     """
-    topk_items = masked_topk_indices(scores, train_table, top_k)
-    hits = hits_against_padded_truth(topk_items, test_table)
+    vals_idx = topk_scores_and_indices(scores, top_k, mask_table=train_table,
+                                       allow_pallas=use_pallas)
+    hits = hits_against_padded_truth(vals_idx[1], test_table)
     return ranking_metrics_from_hits(hits, test_len, metric_ids)

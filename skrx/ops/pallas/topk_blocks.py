@@ -1,28 +1,42 @@
-"""Pallas threshold-pruned blockwise top-k over very large catalogs.
+"""Pallas threshold-pruned blockwise top-k over large catalogs.
 
 For full-catalog ranking the evaluator needs top-k of a (B, N) score matrix
-where N can be millions, after setting train-item scores to -inf
-(reference evaluator.py:197-200 + partial_sort in evaluate.h:33-45). A
-monolithic ``lax.top_k`` keeps the whole row resident (measured 41ms for
-(64, 1M) f32 on v5e); a naive blockwise kernel running k argmax rounds per
-block is VPU-bound at k x N compares. This kernel cuts the selection work to
-~O(N) with a two-pass threshold prune:
+where N ranges from tens of thousands to millions, after setting train-item
+scores to -inf (reference evaluator.py:197-200 + partial_sort in
+evaluate.h:33-45). A monolithic ``lax.top_k`` is selection- not
+bandwidth-bound on this chip (measured 8.8ms for (1024, 40960) f32 — about
+17 GB/s effective; 41ms for (64, 1M)); a naive blockwise kernel running k
+argmax rounds per block is VPU-bound at k x N compares. This kernel cuts the
+selection work to ~O(N) with a two-pass threshold prune:
 
 1. **Threshold pass (bandwidth-bound).** Per row, compute the max of every
-   item block, then tau = k-th largest block max. At least k blocks have
-   max >= tau, and each contributes one element >= tau, so the k-th largest
-   element v_k >= tau: every global top-k element is >= tau.
-2. **Extraction pass (Pallas, grid = item blocks).** Each program loads its
-   score block once and runs an iterative lowest-index argmax loop
-   (`lax.top_k` has no Pallas TPU lowering) that STOPS as soon as the block
-   max falls below tau, capped at k rounds. For eval score distributions the
-   expected number of extractions per block is k/n_blocks << 1, so the loop
-   body almost never runs — the kernel is dominated by the block load.
+   ``sub_n``-wide sub-block, then tau = k-th largest sub-block max. At least
+   k sub-blocks have max >= tau and each contributes one element >= tau, so
+   the k-th largest element v_k >= tau: every global top-k element is >= tau.
+   Fine granularity (sub_n=128 vs the 4096 extraction block) both keeps the
+   bound valid down to N ~ k*sub_n and makes tau tight: for eval score
+   distributions only ~1.1*k elements per row survive the prune.
+2. **Extraction pass (Pallas, grid = batch tiles x item blocks).** Each
+   program loads its (block_b, block_n) score block once and runs an
+   iterative lowest-index argmax loop (`lax.top_k` has no Pallas TPU
+   lowering) that STOPS as soon as the block max falls below tau, capped at
+   k rounds. The expected number of extraction rounds per block is
+   ~1.1*k*block_n/N << k, so the loop body runs a handful of times — the
+   kernel is dominated by the block load. (A sub-sliced variant that loops
+   128-lane slices to shrink the per-round work was measured SLOWER — the
+   per-slice `fori`/`while` machinery costs more than the rounds it saves:
+   7.3ms vs 5.6ms at (1024, 40960), 6.5ms vs 4.3ms at (64, 1M).)
 3. **Merge (plain XLA).** A final `lax.top_k` over the (B, n_blocks*k_eff)
    candidates. Exactness: every global top-k element is >= tau and is its
    block's top-<=k element, so it survives extraction; ties resolve to the
    lower global index, matching `lax.top_k` (blocks are emitted left to
-   right and extraction is index-ordered within a block).
+   right and extraction is index-ordered within a block). Ties need no
+   special casing: a tie storm (e.g. constant popularity scores) just pays
+   the full k rounds per block.
+
+The batch dimension is tiled at ``block_b`` rows per program so big eval
+batches fit VMEM: (1024, 4096) f32 blocks would be 16 MB — past the ~16 MB
+VMEM budget once double-buffered — where (256, 4096) is 4 MB.
 
 **Fused train-item masking via a bit-packed mask.** ``mask_table`` (B, L)
 fuses the evaluator's -inf masking into the selection. Materializing a
@@ -39,11 +53,21 @@ relayout (B, W, 32) -> (B, W*32) casts, and 3-D blocks tile only the last
 two dims, costing ~2.4x). Both passes apply the mask at block load; the
 cost is data-independent.
 
-MEASURED (TPU v5e, B=64, N=1M, k=50, L=512): fused mask+top-k 3.3ms
-regardless of score distribution vs 24ms XLA mask+`lax.top_k` (7.3x);
-unmasked 2.9ms vs 41ms monolithic `lax.top_k` (14x). 3.3ms for the two
-score passes is ~155 GB/s — this chip's measured streaming rate, i.e. the
-kernel is at its bandwidth roofline.
+MEASURED (TPU v5e, k=50, block_n=4096, sub_n=128, block_b=256): fused
+mask+top-k at (1024, 40960): 5.1ms vs 12.9ms XLA mask+`lax.top_k` (2.5x);
+at (64, 1M): 4.5ms masked vs 25.2ms / 41ms XLA masked / unmasked (6-9x).
+End-to-end evaluator effect (eval_score_matrix_device, N=40960, 4 metrics
+@<=50): 89.6k -> 275k users/s at B=1024, 97.5k -> 368k at B=4096 (see
+BASELINE.md). Floors at these shapes: one streaming pass over the scores
+costs ~1.4ms / ~2.3ms (the chip's measured ~110-117 GB/s Pallas grid
+rate), and the XLA `lax.top_k` used for tau + merge costs a fixed ~2.7us
+per ROW regardless of width — the kernel sits at ~2x its own two-pass
+bandwidth roofline with the remainder in those fixed costs.
+
+COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
+VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB
+loop-carried value sends Mosaic's register allocator into minutes of
+compile time (measured 327s; with the scratch ref: ~1s).
 
 Falls back to interpret mode off-TPU (tests run it on CPU).
 """
@@ -58,54 +82,75 @@ __all__ = ["blockwise_topk"]
 _BITS = 32
 
 
-def _apply_mask(block, packed_ref, col_ids, interpret):
-    """(B, BN) block, (B, BN/32) uint32 words: word lane c % W holds, in bit
-    c // W, the mask for block column c (tile-repeat unpack layout)."""
-    packed = packed_ref[...]
+def _apply_mask(block, packed, interpret):
+    """Mask a (B, BN) block given its (B, BN/32) packed words: word lane
+    c % W holds, in bit c // W, the mask for block column c (tile-repeat
+    unpack layout)."""
     w = packed.shape[1]
     if interpret:
         rep = jnp.tile(packed, (1, _BITS))
     else:
         from jax.experimental.pallas import tpu as pltpu
         rep = pltpu.repeat(packed, _BITS, axis=1)
-    bit = (col_ids // w).astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+    bit = (col // w).astype(jnp.uint32)
     return jnp.where((rep >> bit) & jnp.uint32(1) != 0, -jnp.inf, block)
 
 
-def _block_max_kernel(interpret, scores_ref, packed_ref, out_ref):
+def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
+                   out_ref):
+    """Per-row max of every sub_n-wide sub-block of this (block_b, block_n)
+    score block, packed into lanes [ (j % groups_pb) * n_sub_pb + s ] of a
+    (block_b, 128) output block shared by ``groups_pb`` consecutive item
+    blocks (the out block stays VMEM-resident across them)."""
+    j = pl.program_id(1)
     block = scores_ref[...]                          # (B, BN)
+    bsz, bn = block.shape
     if packed_ref is not None:
-        bsz, bn = block.shape
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, bn), 1)
-        block = _apply_mask(block, packed_ref, col_ids, interpret)
-    out_ref[...] = jnp.broadcast_to(
-        jnp.max(block, axis=1, keepdims=True), out_ref.shape)
+        block = _apply_mask(block, packed_ref[...], interpret)
+
+    @pl.when(j % groups_pb == 0)
+    def _():
+        out_ref[...] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
+
+    sub = bn // n_sub_pb
+    lanes = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    base = (j % groups_pb) * n_sub_pb
+    acc = out_ref[...]
+    for s in range(n_sub_pb):                        # static unroll
+        m = jnp.max(block[:, s * sub:(s + 1) * sub], axis=1, keepdims=True)
+        acc = jnp.where(lanes == base + s, m, acc)
+    out_ref[...] = acc
 
 
 def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
-                    vals_ref, idx_ref):
-    j = pl.program_id(0)
+                    vals_ref, idx_ref, scratch_ref):
+    j = pl.program_id(1)
     block = scores_ref[...]                          # (B, BN)
     bsz, bn = block.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, bn), 1)
     if packed_ref is not None:
-        block = _apply_mask(block, packed_ref, col_ids, interpret)
+        block = _apply_mask(block, packed_ref[...], interpret)
     tau = tau_ref[:, 0]                              # (B,)
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, k_eff), 1)
     offset = j * bn
 
-    # accumulate via ref read-modify-write so the while carry stays small
+    # all loop state lives in refs (the extraction rounds mutate the block
+    # in VMEM scratch): a (B, BN) loop-carried VALUE sends Mosaic's register
+    # allocator into minutes of compile time at 4 MB blocks
+    scratch_ref[...] = block
     vals_ref[...] = jnp.full((bsz, k_eff), -jnp.inf, vals_ref.dtype)
     idx_ref[...] = jnp.full((bsz, k_eff), jnp.iinfo(jnp.int32).max // 2,
                             jnp.int32)
 
     def cond(carry):
-        i, _, cur_max = carry
+        i, cur_max = carry
         return (i < k) & jnp.any(cur_max >= tau)
 
     def body(carry):
-        i, block, cur_max = carry
+        i, cur_max = carry
         alive = cur_max >= tau                              # (B,)
+        block = scratch_ref[...]
         # lowest-index argmax of each alive row
         is_best = block == cur_max[:, None]
         best_idx = jnp.min(jnp.where(is_best, col_ids, bn), axis=1)
@@ -115,14 +160,17 @@ def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
         # mask the extracted (leftmost-tied) element; dead rows unchanged
         block = jnp.where((col_ids == best_idx[:, None]) & alive[:, None],
                           -jnp.inf, block)
-        return i + 1, block, jnp.max(block, axis=1)
+        scratch_ref[...] = block
+        return i + 1, jnp.max(block, axis=1)
 
-    jax.lax.while_loop(cond, body, (0, block, jnp.max(block, axis=1)))
+    jax.lax.while_loop(cond, body, (0, jnp.max(block, axis=1)))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "interpret"))
+                   static_argnames=("k", "block_n", "block_b", "sub_n",
+                                    "interpret"))
 def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
+                   block_b: int = 256, sub_n: int = 128,
                    interpret: bool = False, mask_table: jnp.ndarray = None):
     """Exact (values, indices) top-k per row of ``scores`` (B, N).
 
@@ -132,18 +180,33 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
     train-item -inf masking without materializing a masked copy. Masked
     slots beyond the number of surviving items carry -inf values with
     sentinel (out-of-range) indices. ``block_n`` must be a multiple of 4096
-    (so the packed mask block keeps 128-lane words). N is padded up to a
-    block multiple with -inf.
+    when a mask is used on real TPU (so the packed words stay 128-lane
+    aligned) and of ``sub_n``; rows are processed ``block_b`` at a time.
+    N is padded up to a block multiple with -inf.
+
+    The threshold prunes only when N/sub_n >= k; below that tau degrades
+    toward -inf and extraction pays up to k argmax rounds per block — route
+    small catalogs to plain ``lax.top_k`` instead (see skrx/ops/metrics.py
+    gating).
     """
     assert block_n % _BITS == 0, "block_n must be a multiple of 32"
+    sub_n = min(sub_n, block_n)
+    assert block_n % sub_n == 0, "block_n must be a multiple of sub_n"
+    assert 128 % (block_n // sub_n) == 0 or (block_n // sub_n) % 128 == 0, \
+        "sub-maxes per block must tile the 128-lane output"
     if mask_table is not None and not interpret:
         # packed words per block must stay 128-lane aligned on real TPU
         assert block_n % (_BITS * 128) == 0, \
             "masked block_n must be a multiple of 4096 on TPU"
     b, n = scores.shape
+    block_b = min(block_b, b)
     n_blocks = max(-(-n // block_n), 1)
+    nb_b = -(-b // block_b)
     padded_n = n_blocks * block_n
     w32 = block_n // _BITS                           # words per block
+    n_sub_pb = block_n // sub_n                      # sub-maxes per block
+    groups_pb = max(128 // n_sub_pb, 1)              # blocks per submax tile
+    n_sub = n_blocks * n_sub_pb
 
     packed = None
     if mask_table is not None:
@@ -171,69 +234,82 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
         scores = jnp.pad(scores, ((0, 0), (0, padded_n - n)),
                          constant_values=-jnp.inf)
 
-    # candidate count per block, rounded up to the 128-lane tile so the
+    # per-block candidate budget, rounded up to the 128-lane tile so the
     # output block shape is TPU-legal
     k_cap = min(k, block_n)
     k_eff = min(-(-k // 128) * 128, block_n)
 
     def specs():
-        in_specs = [pl.BlockSpec((b, block_n), lambda j: (0, j))]
+        in_specs = [pl.BlockSpec((block_b, block_n), lambda i, j: (i, j))]
         ops = [scores]
         if packed is not None:
-            in_specs.append(pl.BlockSpec((b, w32), lambda j: (0, j)))
+            in_specs.append(pl.BlockSpec((block_b, w32), lambda i, j: (i, j)))
             ops.append(packed)
         return in_specs, ops
 
-    # threshold pass: per-row max of every (masked) block; Pallas so the
-    # bit-unpacked mask never materializes at (B, N)
+    # threshold pass: per-row max of every sub_n-wide sub-block; Pallas so
+    # the bit-unpacked mask never materializes at (B, N)
     in_specs, operands = specs()
     if packed is not None:
-        bm_kernel = functools.partial(_block_max_kernel, interpret)
+        bm_kernel = functools.partial(_submax_kernel, n_sub_pb, groups_pb,
+                                      interpret)
     else:
         def bm_kernel(scores_ref, out_ref):
-            return _block_max_kernel(interpret, scores_ref, None, out_ref)
+            return _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref,
+                                  None, out_ref)
+    n_groups = -(-n_blocks // groups_pb)
+    sub_tile = max(n_sub_pb, 128)                    # lanes per out block
     bm = pl.pallas_call(
         bm_kernel,
-        grid=(n_blocks,),
+        grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, 128), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks * 128), scores.dtype),
+        out_specs=pl.BlockSpec((block_b, sub_tile),
+                               lambda i, j: (i, j // groups_pb)),
+        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, n_groups * sub_tile),
+                                       scores.dtype),
         interpret=interpret,
-    )(*operands)[:, ::128]                                   # (B, n_blocks)
+    )(*operands)[:b, :n_sub]                         # (B, n_sub)
 
-    # tau = k-th largest (masked) block max: a lower bound on the k-th
-    # largest (masked) element whenever n_blocks >= k; degenerate small-N
-    # case uses -inf, i.e. no pruning
-    if n_blocks >= k:
+    # tau = k-th largest (masked) sub-block max: a lower bound on the k-th
+    # largest (masked) element whenever n_sub >= k; degenerate small-N case
+    # uses -inf, i.e. no pruning
+    if n_sub >= k:
         tau = jax.lax.top_k(bm, k)[0][:, k - 1:k]            # (B, 1)
     else:
         tau = jnp.full((b, 1), -jnp.inf, scores.dtype)
     tau = jnp.broadcast_to(tau, (b, 128))  # lane-aligned VMEM operand
 
     in_specs, operands = specs()
-    in_specs.append(pl.BlockSpec((b, 128), lambda j: (0, 0)))
+    in_specs.append(pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)))
     operands.append(tau)
     if packed is not None:
         kernel = functools.partial(_extract_kernel, k_cap, k_eff, interpret)
     else:
-        def kernel(scores_ref, tau_ref, vals_ref, idx_ref):
-            return _extract_kernel(k_cap, k_eff, interpret, scores_ref, None,
-                                   tau_ref, vals_ref, idx_ref)
+        def kernel(scores_ref, tau_ref, vals_ref, idx_ref, scratch_ref):
+            return _extract_kernel(k_cap, k_eff, interpret, scores_ref,
+                                   None, tau_ref, vals_ref, idx_ref,
+                                   scratch_ref)
 
+    from jax.experimental.pallas import tpu as pltpu
     vals, idx = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((b, k_eff), lambda j: (0, j)),
-                   pl.BlockSpec((b, k_eff), lambda j: (0, j))),
-        out_shape=(jax.ShapeDtypeStruct((b, n_blocks * k_eff), scores.dtype),
-                   jax.ShapeDtypeStruct((b, n_blocks * k_eff), jnp.int32)),
+        out_specs=(pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j)),
+                   pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+                                        scores.dtype),
+                   jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+                                        jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((block_b, block_n), scores.dtype)],
         interpret=interpret,
     )(*operands)
+    vals, idx = vals[:b], idx[:b]
 
     # final merge over the candidate set; ties break toward the lower global
     # index because blocks are emitted left to right and extraction within a
     # block is (value desc, index asc)
-    top_vals, pos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    k_out = min(k, vals.shape[1])
+    top_vals, pos = jax.lax.top_k(vals, k_out)
     top_idx = jnp.take_along_axis(idx, pos, axis=1)
     return top_vals, top_idx

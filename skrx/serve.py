@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.metrics import mask_items
+from .ops.metrics import topk_scores_and_indices
 
 __all__ = ["TopKRecommender"]
 
@@ -39,9 +39,8 @@ class TopKRecommender:
 
         @jax.jit
         def rank(scores, seen_rows):
-            if filter_seen:
-                scores = mask_items(scores, seen_rows)
-            vals, idx = jax.lax.top_k(scores, k)
+            vals, idx = topk_scores_and_indices(
+                scores, k, mask_table=seen_rows if filter_seen else None)
             return idx, vals
 
         self._rank = rank

@@ -72,3 +72,45 @@ def test_blockwise_topk_mask_train_dominates():
         mask_items(jnp.asarray(scores), jnp.asarray(table)), k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_blockwise_topk_batch_tiling():
+    """B > block_b exercises the batch grid axis (incl. a ragged last tile)."""
+    rng = np.random.default_rng(5)
+    scores = rng.standard_normal((11, 520)).astype(np.float32)
+    vals, idx = blockwise_topk(jnp.asarray(scores), 9, block_n=128,
+                               block_b=4, interpret=True)
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(scores), 9)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_blockwise_topk_tie_storm():
+    """Constant rows give every block a full-k tie storm; extraction must
+    still match lax.top_k's lowest-index tie-breaking exactly."""
+    scores = np.zeros((4, 1024), dtype=np.float32)
+    scores[:, 700] = 2.0
+    vals, idx = blockwise_topk(jnp.asarray(scores), 7, block_n=128,
+                               interpret=True)
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(scores), 7)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_blockwise_topk_masked_batch_tiling():
+    """Mask + batch tiling together, with sub-slice mask unpack."""
+    from skrx.ops.metrics import mask_items
+
+    rng = np.random.default_rng(7)
+    scores = rng.standard_normal((10, 768)).astype(np.float32)
+    table = np.full((10, 12), 768, dtype=np.int32)
+    for r in range(10):
+        cnt = rng.integers(1, 13)
+        table[r, :cnt] = np.sort(rng.permutation(768)[:cnt])
+    vals, idx = blockwise_topk(jnp.asarray(scores), 17, block_n=256,
+                               block_b=4, interpret=True,
+                               mask_table=jnp.asarray(table))
+    ref_vals, ref_idx = jax.lax.top_k(
+        mask_items(jnp.asarray(scores), jnp.asarray(table)), 17)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
