@@ -191,9 +191,10 @@ class RankingEvaluator:
                                    topk_scores_and_indices)
         k = self.max_top
         metrics = self.metrics
-        # the Pallas kernel is not SPMD-partitionable: route through it only
-        # on single-device evaluators (sharded chunks keep the XLA path)
+        # the Pallas kernels are not SPMD-partitionable: route through them
+        # only on single-device evaluators (sharded chunks keep the XLA path)
         routed = self.mesh is None
+        pallas_merge = routed and jax.default_backend() == "tpu"
 
         @jax.jit
         def merge(best_vals, best_idx, scores, train_table, offset):
@@ -211,6 +212,12 @@ class RankingEvaluator:
             idx = idx + offset
             all_vals = jnp.concatenate([best_vals, vals], axis=1)
             all_idx = jnp.concatenate([best_idx, idx], axis=1)
+            if pallas_merge:
+                # lax.top_k costs a fixed ~2.7us/row on TPU even at tiny
+                # widths — per CHUNK; the VMEM kernel merges in ~0.1ms.
+                # Tie-break by id value == reference lowest-global-index.
+                from ..ops.pallas import vmem_topk
+                return vmem_topk(all_vals, all_idx, k)
             top_vals, pos = jax.lax.top_k(all_vals, k)
             return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
 

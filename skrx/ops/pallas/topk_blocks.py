@@ -26,13 +26,17 @@ selection work to ~O(N) with a two-pass threshold prune:
    128-lane slices to shrink the per-round work was measured SLOWER — the
    per-slice `fori`/`while` machinery costs more than the rounds it saves:
    7.3ms vs 5.6ms at (1024, 40960), 6.5ms vs 4.3ms at (64, 1M).)
-3. **Merge (plain XLA).** A final `lax.top_k` over the (B, n_blocks*k_eff)
-   candidates. Exactness: every global top-k element is >= tau and is its
-   block's top-<=k element, so it survives extraction; ties resolve to the
-   lower global index, matching `lax.top_k` (blocks are emitted left to
-   right and extraction is index-ordered within a block). Ties need no
-   special casing: a tie storm (e.g. constant popularity scores) just pays
-   the full k rounds per block.
+3. **Merge (Pallas VMEM top-k).** A final top-k over the (B, n_blocks*k_eff)
+   candidates via ``vmem_topk`` — k argmax rounds over the VMEM-resident
+   candidate block. XLA's ``lax.top_k`` costs a fixed ~2.7us per ROW at any
+   width on this chip (2.8ms for (1024, 128)!), which would dominate the
+   whole kernel at big batches; the same kernel also selects tau from the
+   sub-block maxima. Exactness: every global top-k element is >= tau and is
+   its block's top-<=k element, so it survives extraction; ties resolve to
+   the lower global index, matching `lax.top_k` (the merge tie-breaks on
+   the candidate id value, and extraction is index-ordered within a block).
+   Ties need no special casing: a tie storm (e.g. constant popularity
+   scores) just pays the full k rounds per block.
 
 The batch dimension is tiled at ``block_b`` rows per program so big eval
 batches fit VMEM: (1024, 4096) f32 blocks would be 16 MB — past the ~16 MB
@@ -54,15 +58,14 @@ two dims, costing ~2.4x). Both passes apply the mask at block load; the
 cost is data-independent.
 
 MEASURED (TPU v5e, k=50, block_n=4096, sub_n=128, block_b=256): fused
-mask+top-k at (1024, 40960): 5.1ms vs 12.9ms XLA mask+`lax.top_k` (2.5x);
-at (64, 1M): 4.5ms masked vs 25.2ms / 41ms XLA masked / unmasked (6-9x).
+mask+top-k at (1024, 40960): 4.4ms vs 12.9ms XLA mask+`lax.top_k` (2.9x);
+at (64, 1M): 4.0ms masked vs 25.2ms / 41ms XLA masked / unmasked (6-10x).
 End-to-end evaluator effect (eval_score_matrix_device, N=40960, 4 metrics
-@<=50): 89.6k -> 275k users/s at B=1024, 97.5k -> 368k at B=4096 (see
-BASELINE.md). Floors at these shapes: one streaming pass over the scores
-costs ~1.4ms / ~2.3ms (the chip's measured ~110-117 GB/s Pallas grid
-rate), and the XLA `lax.top_k` used for tau + merge costs a fixed ~2.7us
-per ROW regardless of width — the kernel sits at ~2x its own two-pass
-bandwidth roofline with the remainder in those fixed costs.
+@<=50): 89.6k -> 326k users/s at B=1024, 97.5k -> 506k at B=4096 (3.6x /
+5.2x — see BASELINE.md; the lax.top_k tau+merge intermediate step measured
+275k / 368k). The two streaming passes over the scores cost ~1.4ms /
+~2.3ms each at the chip's measured ~110-117 GB/s Pallas grid rate — the
+kernel sits at ~1.5x its own two-pass bandwidth roofline.
 
 COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
 VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB
@@ -77,7 +80,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["blockwise_topk"]
+__all__ = ["blockwise_topk", "vmem_topk"]
 
 _BITS = 32
 
@@ -95,6 +98,76 @@ def _apply_mask(block, packed, interpret):
     col = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
     bit = (col // w).astype(jnp.uint32)
     return jnp.where((rep >> bit) & jnp.uint32(1) != 0, -jnp.inf, block)
+
+
+def _vmem_topk_kernel(k, k_pad, vals_ref, idx_ref, out_v_ref, out_i_ref,
+                      scratch_ref):
+    """Exact top-k of a VMEM-resident (block_b, W) block by k argmax rounds;
+    ties break toward the smaller INDEX VALUE (callers pass global ids or an
+    iota, so this matches lax.top_k's lower-position rule)."""
+    vals = vals_ref[...]
+    bsz, w = vals.shape
+    idx = idx_ref[...]
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, k_pad), 1)
+    sentinel = jnp.iinfo(jnp.int32).max // 2
+    scratch_ref[...] = vals
+    out_v_ref[...] = jnp.full((bsz, k_pad), -jnp.inf, out_v_ref.dtype)
+    out_i_ref[...] = jnp.full((bsz, k_pad), sentinel, jnp.int32)
+
+    def body(r, _):
+        cur = scratch_ref[...]
+        cur_max = jnp.max(cur, axis=1)
+        is_best = cur == cur_max[:, None]
+        best_id = jnp.min(jnp.where(is_best, idx, sentinel), axis=1)
+        sel = out_cols == r
+        out_v_ref[...] = jnp.where(sel, cur_max[:, None], out_v_ref[...])
+        out_i_ref[...] = jnp.where(sel, best_id[:, None], out_i_ref[...])
+        scratch_ref[...] = jnp.where(is_best & (idx == best_id[:, None]),
+                                     -jnp.inf, cur)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
+              block_b: int = 256, interpret: bool = False):
+    """Exact (values, ids) top-k per row of a NARROW (B, W) candidate matrix
+    (W up to a few thousand), with ids carried through the selection.
+
+    Replaces XLA ``lax.top_k`` for the kernel-internal tau and merge steps:
+    on this chip ``lax.top_k`` costs a fixed ~2.7 us per ROW at any width
+    (2.8 ms for (1024, 128)!), where k argmax rounds over a VMEM-resident
+    block cost ~0.2-0.5 ms. Ties break toward the smaller id VALUE — pass a
+    row iota for ``idx`` to reproduce lax.top_k's lower-position rule, or
+    global candidate ids to get global lowest-index tie-breaking.
+    """
+    b, w = vals.shape
+    assert idx.shape == (b, w)
+    assert k <= w, (k, w)
+    pad_w = -(-w // 128) * 128 - w
+    if pad_w:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_w)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad_w)),
+                      constant_values=jnp.iinfo(jnp.int32).max // 2)
+        w += pad_w
+    # keep 2x(vals+ids) in-blocks + scratch + outputs under the VMEM budget
+    block_b = max(8, min(block_b, b, (1 << 21) // (w * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    k_pad = -(-k // 128) * 128
+    from jax.experimental.pallas import tpu as pltpu
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_vmem_topk_kernel, k, k_pad),
+        grid=(nb_b,),
+        in_specs=[pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, w), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((block_b, k_pad), lambda i: (i, 0)),
+                   pl.BlockSpec((block_b, k_pad), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, k_pad), vals.dtype),
+                   jax.ShapeDtypeStruct((nb_b * block_b, k_pad), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((block_b, w), vals.dtype)],
+        interpret=interpret,
+    )(vals, idx.astype(jnp.int32))
+    return out_v[:b, :k], out_i[:b, :k]
 
 
 def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
@@ -272,9 +345,12 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
 
     # tau = k-th largest (masked) sub-block max: a lower bound on the k-th
     # largest (masked) element whenever n_sub >= k; degenerate small-N case
-    # uses -inf, i.e. no pruning
+    # uses -inf, i.e. no pruning. Selected by the VMEM top-k kernel —
+    # lax.top_k's fixed ~2.7us/row would cost more than the streaming pass.
     if n_sub >= k:
-        tau = jax.lax.top_k(bm, k)[0][:, k - 1:k]            # (B, 1)
+        iota = jnp.broadcast_to(jnp.arange(n_sub, dtype=jnp.int32)[None, :],
+                                bm.shape)
+        tau = vmem_topk(bm, iota, k, interpret=interpret)[0][:, k - 1:k]
     else:
         tau = jnp.full((b, 1), -jnp.inf, scores.dtype)
     tau = jnp.broadcast_to(tau, (b, 128))  # lane-aligned VMEM operand
@@ -306,10 +382,9 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
     )(*operands)
     vals, idx = vals[:b], idx[:b]
 
-    # final merge over the candidate set; ties break toward the lower global
-    # index because blocks are emitted left to right and extraction within a
-    # block is (value desc, index asc)
+    # final merge over the candidate set, again via the VMEM top-k kernel.
+    # Ties break toward the lower global index — identical to merging by
+    # candidate position (blocks are emitted left to right and extraction
+    # within a block is (value desc, index asc)), which is lax.top_k's rule.
     k_out = min(k, vals.shape[1])
-    top_vals, pos = jax.lax.top_k(vals, k_out)
-    top_idx = jnp.take_along_axis(idx, pos, axis=1)
-    return top_vals, top_idx
+    return vmem_topk(vals, idx, k_out, interpret=interpret)

@@ -114,3 +114,30 @@ def test_blockwise_topk_masked_batch_tiling():
         mask_items(jnp.asarray(scores), jnp.asarray(table)), 17)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_vmem_topk_matches_lax():
+    """vmem_topk with a row iota == lax.top_k exactly (incl. tie rule)."""
+    from skrx.ops.pallas import vmem_topk
+
+    rng = np.random.default_rng(11)
+    vals = rng.standard_normal((9, 300)).astype(np.float32)
+    vals[2, :] = 0.0                       # full-row tie storm
+    vals[4, 10] = vals[4, 200] = 7.0       # two-way tie
+    iota = np.broadcast_to(np.arange(300, dtype=np.int32), (9, 300))
+    v, i = vmem_topk(jnp.asarray(vals), jnp.asarray(iota.copy()), 17,
+                     interpret=True)
+    rv, ri = jax.lax.top_k(jnp.asarray(vals), 17)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_vmem_topk_carries_global_ids():
+    """Ids ride through the selection; ties break on the id VALUE."""
+    from skrx.ops.pallas import vmem_topk
+
+    vals = np.array([[1.0, 3.0, 3.0, 2.0]], np.float32)
+    ids = np.array([[70, 50, 20, 60]], np.int32)
+    v, i = vmem_topk(jnp.asarray(vals), jnp.asarray(ids), 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(v)[0], [3.0, 3.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(i)[0], [20, 50, 60])
