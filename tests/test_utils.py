@@ -163,8 +163,8 @@ def test_preprocessor_load_data_file(tmp_path):
 def test_resolve_eval_batch_size_auto():
     from skrx.models.base import resolve_eval_batch_size
     assert resolve_eval_batch_size(64, 10**6) == 64        # explicit int wins
-    assert resolve_eval_batch_size("auto", 40_000) == 1024
-    assert resolve_eval_batch_size("auto", 1_000_000) == 64
+    assert resolve_eval_batch_size("auto", 40_000) == 4096
+    assert resolve_eval_batch_size("auto", 1_000_000) == 256
     assert resolve_eval_batch_size("auto", 100) == 4096    # clamped high
     # config accepts the sentinel
     from skrx import RunConfig
