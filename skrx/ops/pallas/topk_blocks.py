@@ -170,23 +170,17 @@ def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
     return out_v[:b, :k], out_i[:b, :k]
 
 
-def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
-                   out_ref):
-    """Per-row max of every sub_n-wide sub-block of this (block_b, block_n)
-    score block, packed into lanes [ (j % groups_pb) * n_sub_pb + s ] of a
-    (block_b, 128) output block shared by ``groups_pb`` consecutive item
-    blocks (the out block stays VMEM-resident across them)."""
-    j = pl.program_id(1)
-    block = scores_ref[...]                          # (B, BN)
-    bsz, bn = block.shape
-    if packed_ref is not None:
-        block = _apply_mask(block, packed_ref[...], interpret)
-
+def emit_submaxes(block, out_ref, j, n_sub_pb, groups_pb):
+    """Write this (masked) block's per-row sub-block maxima into lanes
+    [ (j % groups_pb) * n_sub_pb + s ] of a (block_b, >=128) output block
+    shared by ``groups_pb`` consecutive item blocks (the out block stays
+    VMEM-resident across them). Shared by the score-reading and the
+    matmul-producing (dot_topk) threshold kernels."""
     @pl.when(j % groups_pb == 0)
     def _():
         out_ref[...] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
 
-    sub = bn // n_sub_pb
+    sub = block.shape[1] // n_sub_pb
     lanes = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     base = (j % groups_pb) * n_sub_pb
     acc = out_ref[...]
@@ -196,17 +190,26 @@ def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
     out_ref[...] = acc
 
 
-def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
-                    vals_ref, idx_ref, scratch_ref):
+def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
+                   out_ref):
+    """Per-row max of every sub_n-wide sub-block of this (block_b, block_n)
+    score block (see :func:`emit_submaxes`)."""
     j = pl.program_id(1)
     block = scores_ref[...]                          # (B, BN)
-    bsz, bn = block.shape
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, bn), 1)
     if packed_ref is not None:
         block = _apply_mask(block, packed_ref[...], interpret)
-    tau = tau_ref[:, 0]                              # (B,)
+    emit_submaxes(block, out_ref, j, n_sub_pb, groups_pb)
+
+
+def extract_block(block, tau, k, k_eff, offset, vals_ref, idx_ref,
+                  scratch_ref):
+    """Run the tau-pruned iterative argmax extraction on one (masked) block
+    VALUE, writing up to k_eff candidates (global ids offset by ``offset``)
+    into the output refs. Shared by the score-reading and the
+    matmul-producing (dot_topk) extraction kernels."""
+    bsz, bn = block.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, bn), 1)
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, k_eff), 1)
-    offset = j * bn
 
     # all loop state lives in refs (the extraction rounds mutate the block
     # in VMEM scratch): a (B, BN) loop-carried VALUE sends Mosaic's register
@@ -237,6 +240,40 @@ def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
         return i + 1, jnp.max(block, axis=1)
 
     jax.lax.while_loop(cond, body, (0, jnp.max(block, axis=1)))
+
+
+def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
+                    vals_ref, idx_ref, scratch_ref):
+    j = pl.program_id(1)
+    block = scores_ref[...]                          # (B, BN)
+    if packed_ref is not None:
+        block = _apply_mask(block, packed_ref[...], interpret)
+    extract_block(block, tau_ref[:, 0], k, k_eff, j * block.shape[1],
+                  vals_ref, idx_ref, scratch_ref)
+
+
+def pack_mask(mask_table, b: int, n: int, n_blocks: int, block_n: int):
+    """Bit-pack a (B, L) exclusion table into per-block uint32 words:
+    word lane c % W of block j holds, in bit c // W, the mask for block
+    column c (W = block_n/32; see the module header for why this layout).
+    Out-of-range and duplicate table entries are handled."""
+    w32 = block_n // _BITS
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], mask_table.shape)
+    # bit-add == bit-or only for unique ids: sort per row and keep first
+    # occurrences so duplicate table entries (legal for mask_items)
+    # cannot carry into neighboring bits
+    sorted_ids = jnp.sort(jnp.where((mask_table >= 0) & (mask_table < n),
+                                    mask_table, n), axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool),
+         sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1)
+    valid = (sorted_ids < n) & first
+    ids = jnp.where(valid, sorted_ids, 0)
+    c = ids % block_n
+    word = (ids // block_n) * w32 + c % w32
+    bit = (c // w32).astype(jnp.uint32)
+    return jnp.zeros((b, n_blocks * w32), jnp.uint32).at[rows, word].add(
+        jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0)), mode="drop")
 
 
 @functools.partial(jax.jit,
@@ -283,25 +320,7 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
 
     packed = None
     if mask_table is not None:
-        # word lane c % w32 of block j, bit c // w32  <->  block column c
-        rows = jnp.broadcast_to(jnp.arange(b)[:, None], mask_table.shape)
-        # bit-add == bit-or only for unique ids: sort per row and keep first
-        # occurrences so duplicate table entries (legal for mask_items)
-        # cannot carry into neighboring bits
-        sorted_ids = jnp.sort(jnp.where((mask_table >= 0) & (mask_table < n),
-                                        mask_table, n), axis=1)
-        first = jnp.concatenate(
-            [jnp.ones((b, 1), bool),
-             sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1)
-        valid = (sorted_ids < n) & first
-        ids = jnp.where(valid, sorted_ids, 0)
-        c = ids % block_n
-        word = (ids // block_n) * w32 + c % w32
-        bit = (c // w32).astype(jnp.uint32)
-        packed = jnp.zeros((b, n_blocks * w32), jnp.uint32).at[
-            rows, word].add(
-            jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0)),
-            mode="drop")
+        packed = pack_mask(mask_table, b, n, n_blocks, block_n)
 
     if padded_n != n:
         scores = jnp.pad(scores, ((0, 0), (0, padded_n - n)),

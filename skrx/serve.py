@@ -29,7 +29,15 @@ class TopKRecommender:
             behavior; set False for rating-prediction style output).
     """
 
-    def __init__(self, model, k: int = 10, filter_seen: bool = True):
+    # catalogs at/beyond this route dot-scoring models through the fused
+    # score+select kernel (skrx/ops/pallas/dot_topk.py): `predict` would
+    # materialize a (B, N) block — 4 GB at (1024, 1M) — where the fused
+    # kernel recomputes score blocks on the MXU in VMEM and needs ~50 MB
+    FUSED_MIN_ITEMS = 131072
+
+    def __init__(self, model, k: int = 10, filter_seen: bool = True,
+                 fused: str = "auto"):
+        assert fused in ("auto", "always", "never")
         self.model = model
         self.k = k
         self.filter_seen = filter_seen
@@ -45,6 +53,24 @@ class TopKRecommender:
 
         self._rank = rank
 
+        self._fused = None
+        num_items = getattr(model, "num_items", 0)
+        want = fused == "always" or (
+            fused == "auto" and num_items >= self.FUSED_MIN_ITEMS
+            and jax.default_backend() == "tpu")
+        if want and hasattr(model, "_chunk_embeddings"):
+            from .ops.pallas import dot_topk
+            interpret = jax.default_backend() != "tpu"
+
+            @jax.jit
+            def fused_rank(uv, items, bias, seen_rows):
+                vals, idx = dot_topk(
+                    uv, items, bias, k, interpret=interpret,
+                    mask_table=seen_rows if filter_seen else None)
+                return idx, vals
+
+            self._fused = fused_rank
+
     def recommend(self, users) -> Tuple[np.ndarray, np.ndarray]:
         users_np = np.asarray(users, dtype=np.int32)
         # JAX gathers CLAMP out-of-range ids — an unknown user would silently
@@ -56,8 +82,15 @@ class TopKRecommender:
                 f"user ids must be in [0, {num_users}); got "
                 f"[{users_np.min()}, {users_np.max()}]")
         users_arr = jnp.asarray(users_np)
-        scores = jnp.asarray(self.model.predict(users_arr), jnp.float32)
         seen = self._seen[users_arr]
+        if self._fused is not None:
+            # huge-catalog dot models: fused score+select — the (B, N)
+            # score matrix never exists (bit-identical ranking; tested)
+            u_all, i_all = self.model._chunk_embeddings()
+            bias = self.model._chunk_bias()
+            idx, vals = self._fused(u_all[users_arr], i_all, bias, seen)
+            return np.asarray(idx), np.asarray(vals)
+        scores = jnp.asarray(self.model.predict(users_arr), jnp.float32)
         idx, vals = self._rank(scores, seen)
         return np.asarray(idx), np.asarray(vals)
 

@@ -82,3 +82,17 @@ def test_nan_guard(tmp_path, monkeypatch):
     m._train_epoch = poisoned
     m.fit()
     assert calls["n"] == 3  # stopped right after the nan epoch
+
+
+def test_fused_serving_matches_predict_path(trained_model):
+    """fused='always' (dot_topk score+select, no (B, N) matrix) returns the
+    same recommendations as the materialized predict+rank path."""
+    model = trained_model
+    base = TopKRecommender(model, k=7)
+    fused = TopKRecommender(model, k=7, fused="always")
+    assert fused._fused is not None, "dot model must take the fused path"
+    users = [0, 3, 5, 11]
+    ids_a, vals_a = base.recommend(users)
+    ids_b, vals_b = fused.recommend(users)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(vals_a, vals_b, rtol=1e-6)
