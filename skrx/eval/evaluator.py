@@ -128,10 +128,14 @@ class RankingEvaluator:
         # (no reference counterpart — skrec is single-GPU).
         self.mesh = mesh
         # evaluate() routing: "full" (materialize (B, N)), "chunked" (running
-        # top-k merge over catalog slices), "topk" (tensor-parallel
-        # model.predict_topk), or "auto" — topk when the mesh has a model
-        # axis > 1, chunked when num_items >= chunk_threshold, else full.
-        assert eval_mode in ("auto", "full", "chunked", "topk"), eval_mode
+        # top-k merge over catalog slices), "fused" (single-kernel score+
+        # select via dot_topk — dot-scoring models only), "topk"
+        # (tensor-parallel model.predict_topk), or "auto" — topk when the
+        # mesh has a model axis > 1, fused/chunked when num_items >=
+        # chunk_threshold (fused preferred on single-device TPU for models
+        # exposing dot factors), else full.
+        assert eval_mode in ("auto", "full", "chunked", "fused", "topk"), \
+            eval_mode
         self.eval_mode = eval_mode
         self.chunk_size = int(chunk_size)
         self.chunk_threshold = int(chunk_threshold)
@@ -307,6 +311,47 @@ class RankingEvaluator:
         numbers to :meth:`evaluate` (tested)."""
         assert hasattr(model, "predict_topk"), \
             "model must expose predict_topk(users, k, train_table)"
+
+        def topk_fn(batch_users, k, train_table):
+            return model.predict_topk(batch_users, k, train_table)
+
+        return self._evaluate_from_topk(topk_fn, num_items, test_users)
+
+    def evaluate_fused(self, model, num_items: int,
+                       test_users: Optional[Iterable[int]] = None
+                       ) -> MetricReport:
+        """Single-kernel huge-catalog evaluation for dot-scoring models: the
+        fused score+select Pallas kernel (skrx/ops/pallas/dot_topk.py)
+        recomputes (block_b, block_n) score blocks on the MXU in VMEM during
+        both top-k passes, so the (B, N) score matrix never exists AND the
+        per-catalog-chunk Python dispatch loop of :meth:`evaluate_chunked`
+        collapses to one device call per eval batch. The model must expose
+        ``_chunk_embeddings() -> (u_all, i_all)`` (+ optional
+        ``_chunk_bias``) — the ChunkedDotPredictMixin contract. Selection is
+        bit-identical to the materialized pipeline (same tau bound, same
+        lowest-index tie-break), so metrics equal :meth:`evaluate` (tested).
+        Single-device only (the kernel is not SPMD-partitionable)."""
+        assert hasattr(model, "_chunk_embeddings"), \
+            "fused eval needs the model's dot factors (_chunk_embeddings)"
+        from ..ops.pallas import dot_topk
+        interpret = jax.default_backend() != "tpu"
+
+        def topk_fn(batch_users, k, train_table):
+            u_all, i_all = model._chunk_embeddings()
+            bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
+                else None
+            uv = jnp.asarray(u_all, jnp.float32)[jnp.asarray(batch_users)]
+            return dot_topk(uv, jnp.asarray(i_all, jnp.float32), bias, k,
+                            mask_table=train_table, interpret=interpret)
+
+        return self._evaluate_from_topk(topk_fn, num_items, test_users)
+
+    def _evaluate_from_topk(self, topk_fn, num_items: int,
+                            test_users: Optional[Iterable[int]] = None
+                            ) -> MetricReport:
+        """Shared driver for the strategies that produce a train-masked exact
+        top-k directly (``topk``/``fused``): page users through ``topk_fn``,
+        guard -inf slots with a sentinel id, run metrics on the top-k."""
         if test_users is not None:
             test_users = [int(u) for u in test_users
                           if int(u) in self.user_pos_test]
@@ -330,8 +375,7 @@ class RankingEvaluator:
                     [batch_users, np.full(pad, batch_users[-1], np.int32)])
             train_table, test_table, test_len = self._tables_for(batch_users,
                                                                  num_items)
-            vals, idx = model.predict_topk(batch_users, k,
-                                           jnp.asarray(train_table))
+            vals, idx = topk_fn(batch_users, k, jnp.asarray(train_table))
             vals = jnp.asarray(vals, jnp.float32)
             idx = jnp.asarray(idx, jnp.int32)
             # -inf slots (masked / padded catalog) must never hit a test item
@@ -363,17 +407,24 @@ class RankingEvaluator:
         they differ in how the score matrix is (not) materialized."""
         num_items = getattr(model, "num_items", None)
         mode = self.eval_mode
-        if mode == "chunked" or (mode == "auto" and num_items is not None
-                                 and num_items >= self.chunk_threshold
+        tp = self._model_parallel() and hasattr(model, "predict_topk")
+        big = (num_items is not None and num_items >= self.chunk_threshold)
+        # single-device TPU dot models at huge catalogs: one fused
+        # score+select kernel call per batch beats the chunk dispatch loop
+        fused_ok = (big and hasattr(model, "_chunk_embeddings")
+                    and self.mesh is None
+                    and jax.default_backend() == "tpu")
+        if mode == "fused" or (mode == "auto" and fused_ok and not tp):
+            assert num_items is not None, "fused eval needs model.num_items"
+            return self.evaluate_fused(model, num_items, test_users)
+        if mode == "chunked" or (mode == "auto" and big
                                  and hasattr(model, "predict_chunk")
-                                 and not (self._model_parallel()
-                                          and hasattr(model, "predict_topk"))):
+                                 and not tp):
             assert num_items is not None, \
                 "chunked eval needs model.num_items"
             return self.evaluate_chunked(model, num_items, self.chunk_size,
                                          test_users)
-        if mode == "topk" or (mode == "auto" and self._model_parallel()
-                              and hasattr(model, "predict_topk")):
+        if mode == "topk" or (mode == "auto" and tp):
             assert num_items is not None, "topk eval needs model.num_items"
             return self.evaluate_topk(model, num_items, test_users)
         return self._evaluate_full(model, test_users)
