@@ -326,23 +326,40 @@ class RankingEvaluator:
         both top-k passes, so the (B, N) score matrix never exists AND the
         per-catalog-chunk Python dispatch loop of :meth:`evaluate_chunked`
         collapses to one device call per eval batch. The model must expose
-        ``_chunk_embeddings() -> (u_all, i_all)`` (+ optional
-        ``_chunk_bias``) — the ChunkedDotPredictMixin contract. Selection is
-        bit-identical to the materialized pipeline (same tau bound, same
-        lowest-index tie-break), so metrics equal :meth:`evaluate` (tested).
-        Single-device only (the kernel is not SPMD-partitionable)."""
-        assert hasattr(model, "_chunk_embeddings"), \
-            "fused eval needs the model's dot factors (_chunk_embeddings)"
+        its dot factorization — either ``_chunk_embeddings() -> (u_all,
+        i_all)`` (+ optional ``_chunk_bias``, the ChunkedDotPredictMixin
+        contract) or ``_topk_factors(uv)`` over cached per-batch user vectors
+        (the CachedUserVecChunkMixin tower contract; dot towers only — SGAT's
+        euclidean score has no dot form). Selection is bit-identical to the
+        materialized pipeline (same tau bound, same lowest-index tie-break),
+        so metrics equal :meth:`evaluate` (tested). Single-device only (the
+        kernel is not SPMD-partitionable)."""
+        dot_tower = (hasattr(model, "_topk_factors")
+                     and getattr(model, "_topk_score_fn", None) is None)
+        assert hasattr(model, "_chunk_embeddings") or dot_tower, \
+            "fused eval needs the model's dot factors (_chunk_embeddings " \
+            "or _topk_factors without a custom score_fn)"
+        assert not self._model_parallel(), \
+            "fused eval is single-device (the dot_topk kernel is not SPMD-" \
+            "partitionable); use eval_mode='topk' on model-parallel meshes"
         from ..ops.pallas import dot_topk
         interpret = jax.default_backend() != "tpu"
 
-        def topk_fn(batch_users, k, train_table):
-            u_all, i_all = model._chunk_embeddings()
-            bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
-                else None
-            uv = jnp.asarray(u_all, jnp.float32)[jnp.asarray(batch_users)]
-            return dot_topk(uv, jnp.asarray(i_all, jnp.float32), bias, k,
-                            mask_table=train_table, interpret=interpret)
+        if hasattr(model, "_chunk_embeddings"):
+            def topk_fn(batch_users, k, train_table):
+                u_all, i_all = model._chunk_embeddings()
+                bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
+                    else None
+                uv = jnp.asarray(u_all, jnp.float32)[jnp.asarray(batch_users)]
+                return dot_topk(uv, jnp.asarray(i_all, jnp.float32), bias, k,
+                                mask_table=train_table, interpret=interpret)
+        else:
+            def topk_fn(batch_users, k, train_table):
+                uv, i_all, bias = model._topk_factors(
+                    model._cached_user_vectors(batch_users))
+                return dot_topk(jnp.asarray(uv, jnp.float32),
+                                jnp.asarray(i_all, jnp.float32), bias, k,
+                                mask_table=train_table, interpret=interpret)
 
         return self._evaluate_from_topk(topk_fn, num_items, test_users)
 
@@ -405,15 +422,34 @@ class RankingEvaluator:
         """Route to the right evaluation strategy (see ``eval_mode``), then
         compute ranking metrics. All strategies produce identical numbers;
         they differ in how the score matrix is (not) materialized."""
-        num_items = getattr(model, "num_items", None)
+        # catalog width of predict's score matrix: models whose predict
+        # exposes extra columns (HGN/Caser's zero-scored pad column, parity
+        # with the reference's full-W2 predict) declare _eval_width so every
+        # strategy ranks the same column range
+        num_items = (getattr(model, "_eval_width", None)
+                     or getattr(model, "num_items", None))
         mode = self.eval_mode
         tp = self._model_parallel() and hasattr(model, "predict_topk")
         big = (num_items is not None and num_items >= self.chunk_threshold)
         # single-device TPU dot models at huge catalogs: one fused
         # score+select kernel call per batch beats the chunk dispatch loop
-        fused_ok = (big and hasattr(model, "_chunk_embeddings")
+        dot_tower = (hasattr(model, "_topk_factors")
+                     and getattr(model, "_topk_score_fn", None) is None)
+        fused_ok = (big and (hasattr(model, "_chunk_embeddings") or dot_tower)
                     and self.mesh is None
                     and jax.default_backend() == "tpu")
+        if fused_ok and mode == "auto":
+            # dot_topk's VMEM budget asserts d <= 512; auto must degrade to
+            # chunked for wider factors, not crash mid-eval. The embeddings
+            # call is the same one fused eval would make (models cache it).
+            try:
+                if hasattr(model, "_chunk_embeddings"):
+                    _, i_all = model._chunk_embeddings()
+                else:  # factors are uv-independent; probe with uv=None
+                    _, i_all, _ = model._topk_factors(None)
+                fused_ok = int(i_all.shape[1]) <= 512
+            except NotImplementedError:
+                fused_ok = False
         if mode == "fused" or (mode == "auto" and fused_ok and not tp):
             assert num_items is not None, "fused eval needs model.num_items"
             return self.evaluate_fused(model, num_items, test_users)

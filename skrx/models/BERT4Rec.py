@@ -313,3 +313,9 @@ class BERT4Rec(CachedUserVecChunkMixin, JaxRecommender):
     def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
         return self._score_chunk_fn(self.params, uv, item_lo,
                                     width=item_hi - item_lo)
+
+    def _topk_factors(self, uv):
+        # predict == uv @ tok_emb[:N].T + out_bias[:N] (token id == item id
+        # for real items; mask/pad special tokens excluded)
+        n = self.num_items
+        return uv, self.params["tok_emb"][:n], self.params["out_bias"][:n]

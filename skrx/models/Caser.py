@@ -64,8 +64,13 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
         super().__init__(run_config, self.config)
         cfg = self.config
         self.num_users = self.dataset.num_users
+        self.num_items = self.dataset.num_items
         self.pad_idx = self.dataset.num_items
         n_items_pad = self.dataset.num_items + 1  # +1 pad row
+        # predict exposes the zero-scored pad column (reference parity:
+        # skrec Caser scores the full W2 incl. the zero-frozen pad row), so
+        # the evaluator's catalog width is N+1
+        self._eval_width = n_items_pad
 
         init = get_initializer("normal")
         d, L = cfg.embed_size, cfg.seq_L
@@ -258,3 +263,10 @@ class Caser(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
         return self._score_chunk_fn(self.params, uv, item_lo,
                                     width=item_hi - item_lo)
+
+    def _topk_factors(self, uv):
+        # predict == uv @ W2.T + b2 with the pad row zero-frozen (its column
+        # scores exactly 0, same as full predict); width = N+1
+        pad = self.pad_idx
+        return (uv, self.params["W2"].at[pad].set(0.0),
+                self.params["b2"].at[pad].set(0.0))

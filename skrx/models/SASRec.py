@@ -261,3 +261,8 @@ class SASRec(CachedUserVecChunkMixin, JaxRecommender):
     def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
         return self._score_chunk_fn(self.params, uv, item_lo,
                                     width=item_hi - item_lo)
+
+    def _topk_factors(self, uv):
+        # predict == uv @ (item_emb * sqrt(d)).T over the N real items
+        d = self.config.hidden_units
+        return uv, self.params["item_emb"] * (d ** 0.5), None

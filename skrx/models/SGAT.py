@@ -246,3 +246,17 @@ class SGAT(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
         return self._score_chunk_fn(self.params, self._final_items, uv,
                                     item_lo, width=item_hi - item_lo)
+
+    def _topk_factors(self, uv):
+        # score = -||uv - item|| + bias: not a dot, so predict_topk routes
+        # through _topk_score_fn (the factors carry the operands)
+        return uv, self._final_items, self.params["item_bias"]
+
+    @staticmethod
+    def _topk_score_fn(uv, items, bias):
+        # expanded euclidean: never materializes (B, S, d) on a shard. Equal
+        # to predict's l2d up to fp association (max(., 0) guards the
+        # cancellation; +1e-12 matches l2d's epsilon).
+        d2 = (jnp.sum(uv * uv, -1)[:, None] - 2.0 * (uv @ items.T)
+              + jnp.sum(items * items, -1)[None, :])
+        return -jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12) + bias[None, :]

@@ -42,6 +42,23 @@ __all__ = ["AbstractRecommender", "JaxRecommender"]
 class AbstractRecommender:
     def __init__(self, run_config: RunConfig, model_config: Config):
         self.run_config = run_config
+        # Route the run-level dtype policy into the model config (models
+        # read it AFTER this constructor returns). Models with a
+        # mixed-precision path declare a ``compute_dtype`` field
+        # (SASRec/BERT4Rec/MultVAE); an explicitly passed model-level value
+        # wins; models without the field warn-and-ignore — their compute
+        # stays f32 for metric parity with the reference.
+        cdt = getattr(run_config, "compute_dtype", "float32")
+        if cdt != "float32":
+            if not hasattr(type(model_config), "compute_dtype"):
+                import warnings
+                warnings.warn(
+                    f"RunConfig.compute_dtype={cdt!r} ignored: "
+                    f"{type(model_config).__name__} declares no "
+                    f"compute_dtype (no bfloat16 compute path); this model "
+                    f"runs float32")
+            elif "compute_dtype" not in model_config.__dict__:
+                model_config.compute_dtype = cdt
         self.dataset = RSDataset(run_config.data_dir, run_config.sep,
                                  run_config.file_column)
         self.logger: Logger = self._create_logger(self.dataset, model_config)
@@ -62,6 +79,24 @@ class AbstractRecommender:
             chunk_size=getattr(run_config, "eval_chunk_size", 65536),
             chunk_threshold=getattr(run_config, "eval_chunk_threshold",
                                     131072))
+        # fail fast on a forced eval_mode this model cannot serve — better
+        # than burning a training epoch and asserting at the first eval
+        _mode = self.evaluator.eval_mode
+        _ok = True
+        if _mode == "chunked":
+            _ok = hasattr(type(self), "predict_chunk")
+        elif _mode == "topk":
+            _ok = hasattr(type(self), "predict_topk")
+        elif _mode == "fused":
+            _ok = (hasattr(type(self), "_chunk_embeddings")
+                   or (hasattr(type(self), "_topk_factors")
+                       and getattr(type(self), "_topk_score_fn", None)
+                       is None))
+        if not _ok:
+            raise TypeError(
+                f"eval_mode={_mode!r} is not supported by "
+                f"{type(self).__name__} (its predict has no compatible "
+                f"factorization); use eval_mode='auto' or 'full'")
         self._user_groups = group_users_by_interactions(self.dataset)
 
     def _create_logger(self, dataset: RSDataset, config: Config) -> Logger:

@@ -168,74 +168,20 @@ class ChunkedDotPredictMixin:
         — skrec's predict materializes full (B, N) on one GPU,
         skrec/recommender/BPRMF.py:145-147).
         """
-        import jax
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import MODEL_AXIS, model_parallel_size
+        from ..parallel import sharded_dot_topk
 
-        mesh = self.mesh
-        m = model_parallel_size(mesh)
-        assert m > 1, "predict_topk needs a mesh with model axis > 1"
         u_all, i_all = self._chunk_embeddings()
         bias = self._chunk_bias()
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         uv = u_all[users]
         n_items = int(i_all.shape[0])
-        shard = -(-n_items // m)
-        pad = shard * m - n_items
-        if pad:
-            i_all = jnp.pad(i_all, ((0, pad), (0, 0)))
-        if bias is None:
-            bias = jnp.zeros((shard * m,), jnp.float32)
-        elif pad:
-            bias = jnp.pad(bias, (0, pad))
-        i_all = jax.device_put(i_all, NamedSharding(mesh, P(MODEL_AXIS, None)))
-        bias = jax.device_put(bias, NamedSharding(mesh, P(MODEL_AXIS)))
         if train_table is None:
             train_table = jnp.full((users.shape[0], 1), n_items, jnp.int32)
-        train_table = jnp.asarray(train_table, jnp.int32)
-
-        key = (id(mesh), k, n_items, int(uv.shape[0]), int(uv.shape[1]),
-               int(train_table.shape[1]))
-        cache = self.__dict__.setdefault("_topk_fns", {})
-        fn = cache.get(key)
-        if fn is None:
-            from jax import shard_map
-
-            k_local = min(k, shard)
-            k_glob = min(k, m * k_local, n_items)
-
-            def shard_fn(uv, item_shard, bias_shard, train_tab):
-                offset = jax.lax.axis_index(MODEL_AXIS) * shard
-                scores = uv @ item_shard.T + bias_shard[None, :]
-                ids = offset + jnp.arange(shard)
-                # catalog padding rows can never rank
-                scores = jnp.where(ids[None, :] < n_items, scores, -jnp.inf)
-                # mask this shard's slice of the train items; out-of-slice
-                # ids (incl. the table's pad id) go out of bounds -> dropped.
-                # NB negative locals would WRAP in the scatter — send them
-                # out of bounds explicitly.
-                local = train_tab - offset
-                local = jnp.where(local < 0, shard, local)
-                rows = jnp.broadcast_to(
-                    jnp.arange(scores.shape[0])[:, None], local.shape)
-                scores = scores.at[rows, local].set(-jnp.inf, mode="drop")
-                vals, idx = jax.lax.top_k(scores, k_local)
-                idx = idx + offset
-                all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1,
-                                              tiled=True)
-                all_idx = jax.lax.all_gather(idx, MODEL_AXIS, axis=1,
-                                             tiled=True)
-                top_vals, pos = jax.lax.top_k(all_vals, k_glob)
-                return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
-
-            fn = jax.jit(shard_map(
-                shard_fn, mesh=mesh,
-                in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS), P()),
-                out_specs=(P(), P()), check_vma=False))
-            cache[key] = fn
-        return fn(uv, i_all, bias, train_table)
+        return sharded_dot_topk(
+            self.mesh, uv, i_all, bias, k, n_items, train_table,
+            self.__dict__.setdefault("_topk_fns", {}))
 
 
 class CachedUserVecChunkMixin:
@@ -261,10 +207,10 @@ class CachedUserVecChunkMixin:
         # strong refs compared by identity: holding them prevents id reuse
         return (self.params,)
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int):
+    def _cached_user_vectors(self, users: np.ndarray):
+        """User vectors for ``users``, computed once per (state, user batch)."""
         import jax.numpy as jnp
 
-        users = np.asarray(users, dtype=np.int32)
         refs = self._uv_state_refs()
         cached = getattr(self, "_uv_cache", None)
         if (cached is None or len(cached[0]) != len(refs)
@@ -273,7 +219,47 @@ class CachedUserVecChunkMixin:
             uv = self._user_vectors(jnp.asarray(users))
             cached = (refs, users.tobytes(), uv)
             self._uv_cache = cached
-        return self._score_user_chunk(cached[2], item_lo, item_hi)
+        return cached[2]
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int):
+        users = np.asarray(users, dtype=np.int32)
+        return self._score_user_chunk(self._cached_user_vectors(users),
+                                      item_lo, item_hi)
+
+    def _topk_factors(self, uv):
+        """Dot factorization of the catalog score: returns ``(uv2, table,
+        bias)`` such that ``predict(users) == uv2 @ table.T + bias`` up to a
+        per-ROW constant (which cannot change each row's ranking), where
+        ``uv = _user_vectors(users)``. ``table`` covers exactly predict's
+        column range. The factors must not depend on ``uv``'s values (pass
+        it through untouched) — the evaluator probes with ``uv=None`` to
+        read the factor width. Enables tensor-parallel evaluation
+        (predict_topk) and fused single-kernel eval for the sequence-tower
+        family — their
+        parameters are tiny (train-side TP is not worth it, NEXT.md #5) but
+        full-catalog SCORING is the eval bottleneck and shards perfectly
+        over the item axis."""
+        raise NotImplementedError
+
+    def predict_topk(self, users, k: int, train_table=None):
+        """Tensor-parallel exact top-k for tower models: the user encoder
+        runs replicated on the batch (tiny), then the catalog dot is
+        row-sharded over the mesh 'model' axis with a two-stage merge
+        (skrx/parallel/topk_merge.py) — the (B, N) score matrix never exists
+        on one chip. Same contract as ChunkedDotPredictMixin.predict_topk."""
+        import jax.numpy as jnp
+
+        from ..parallel import sharded_dot_topk
+
+        users = np.asarray(users, dtype=np.int32)
+        uv2, table, bias = self._topk_factors(self._cached_user_vectors(users))
+        n_items = int(table.shape[0])
+        if train_table is None:
+            train_table = jnp.full((len(users), 1), n_items, jnp.int32)
+        return sharded_dot_topk(
+            self.mesh, uv2, table, bias, k, n_items, train_table,
+            self.__dict__.setdefault("_topk_fns", {}),
+            score_fn=getattr(self, "_topk_score_fn", None))
 
 
 class EpochTrainedRecommender(JaxRecommender):

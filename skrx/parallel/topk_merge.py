@@ -8,16 +8,17 @@ and re-topped — the full (B, N) matrix never exists on one chip. This is the
 standard two-stage top-k merge (exact: the global top-k is contained in the
 union of per-shard top-k).
 """
-from typing import Callable
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import MODEL_AXIS
+from .mesh import MODEL_AXIS, model_parallel_size
 
-__all__ = ["sharded_topk_scores", "local_then_global_topk"]
+__all__ = ["sharded_topk_scores", "local_then_global_topk",
+           "sharded_dot_topk"]
 
 
 def local_then_global_topk(scores_local: jnp.ndarray, k: int,
@@ -56,3 +57,85 @@ def sharded_topk_scores(mesh: Mesh, score_fn: Callable, k: int):
         return local_then_global_topk(local, k, MODEL_AXIS, offset)
 
     return scores_local_fn
+
+
+def sharded_dot_topk(mesh: Mesh, uv: jnp.ndarray, i_all: jnp.ndarray,
+                     bias: Optional[jnp.ndarray], k: int, n_items: int,
+                     train_table: jnp.ndarray, cache: Dict,
+                     score_fn: Optional[Callable] = None):
+    """Exact train-masked top-k of ``uv @ i_all.T + bias`` with the item
+    catalog row-sharded over the mesh 'model' axis (two-stage merge) — the
+    (B, N) score matrix never exists on one chip.
+
+    Shared engine behind ``ChunkedDotPredictMixin.predict_topk`` (dot-predict
+    family) and ``CachedUserVecChunkMixin.predict_topk`` (sequence towers,
+    whose encoder runs replicated and whose catalog score is a dot).
+    Returns (values (B, k'), global ids (B, k')) with k' = min(k, n_items,
+    shards * per-shard-k); -inf value slots carry masked/padded ids.
+
+    ``score_fn(uv, item_shard, bias_shard) -> (B, S) scores`` overrides the
+    default dot for non-inner-product scores (e.g. SGAT's euclidean
+    distance); it is traced inside shard_map, so it must be a pure jax
+    function, and it must be a STABLE callable (created once per model) —
+    the compiled program is memoized per (mesh, shapes) in ``cache``.
+
+    ``cache`` memoizes the jitted shard_map per (mesh, shapes); pass a dict
+    owned by the caller so its lifetime matches the model's.
+    """
+    m = model_parallel_size(mesh)
+    assert m > 1, "sharded_dot_topk needs a mesh with model axis > 1"
+    uv = jnp.asarray(uv, jnp.float32)
+    i_all = jnp.asarray(i_all, jnp.float32)
+    shard = -(-n_items // m)
+    pad = shard * m - n_items
+    if pad:
+        i_all = jnp.pad(i_all, ((0, pad), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((shard * m,), jnp.float32)
+    elif pad:
+        bias = jnp.pad(jnp.asarray(bias, jnp.float32), (0, pad))
+    else:
+        bias = jnp.asarray(bias, jnp.float32)
+    i_all = jax.device_put(i_all, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    bias = jax.device_put(bias, NamedSharding(mesh, P(MODEL_AXIS)))
+    train_table = jnp.asarray(train_table, jnp.int32)
+
+    key = (id(mesh), k, n_items, int(uv.shape[0]), int(uv.shape[1]),
+           int(train_table.shape[1]))
+    fn = cache.get(key)
+    if fn is None:
+        k_local = min(k, shard)
+        k_glob = min(k, m * k_local, n_items)
+
+        def shard_fn(uv, item_shard, bias_shard, train_tab):
+            offset = jax.lax.axis_index(MODEL_AXIS) * shard
+            if score_fn is not None:
+                scores = score_fn(uv, item_shard, bias_shard)
+            else:
+                scores = uv @ item_shard.T + bias_shard[None, :]
+            ids = offset + jnp.arange(shard)
+            # catalog padding rows can never rank
+            scores = jnp.where(ids[None, :] < n_items, scores, -jnp.inf)
+            # mask this shard's slice of the train items; out-of-slice ids
+            # (incl. the table's pad id) go out of bounds -> dropped. NB
+            # negative locals would WRAP in the scatter — send them out of
+            # bounds explicitly.
+            local = train_tab - offset
+            local = jnp.where(local < 0, shard, local)
+            rows = jnp.broadcast_to(
+                jnp.arange(scores.shape[0])[:, None], local.shape)
+            scores = scores.at[rows, local].set(-jnp.inf, mode="drop")
+            vals, idx = jax.lax.top_k(scores, k_local)
+            idx = idx + offset
+            all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1,
+                                          tiled=True)
+            all_idx = jax.lax.all_gather(idx, MODEL_AXIS, axis=1, tiled=True)
+            top_vals, pos = jax.lax.top_k(all_vals, k_glob)
+            return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+        fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS), P()),
+            out_specs=(P(), P()), check_vma=False))
+        cache[key] = fn
+    return fn(uv, i_all, bias, train_table)

@@ -38,9 +38,11 @@ class RunConfig(Config):
     # --- TPU-native extensions (no reference counterpart) ---
     # Mesh axis sizes (data, model). None => single device.
     mesh_shape: Optional[Tuple[int, int]] = None
-    # Compute dtype for dense towers: "float32" | "bfloat16". Reserved:
-    # training currently runs float32 everywhere for metric parity with the
-    # reference; bfloat16 matmul paths are a planned opt-in.
+    # Compute dtype for dense towers: "float32" | "bfloat16". Routed into the
+    # model config when the model declares a ``compute_dtype`` field
+    # (SASRec/BERT4Rec/MultVAE: transformer/MLP matmuls in bf16 with f32
+    # master weights); models without a bf16 path warn-and-ignore — their
+    # math stays f32 for metric parity with the reference.
     compute_dtype: str = "float32"
     # Checkpoint/resume: save params+opt_state every N epochs to
     # checkpoint_dir; resume=True restores the latest checkpoint at fit().
@@ -51,9 +53,11 @@ class RunConfig(Config):
     # this directory (view with TensorBoard / xprof). Empty disables.
     profile_dir: str = ""
     # Evaluation strategy: "auto" picks tensor-parallel top-k when the mesh
-    # has a model axis > 1, chunked (never materialize (B, N)) when
-    # num_items >= eval_chunk_threshold, full otherwise. "full" / "chunked" /
-    # "topk" force a strategy. All produce identical metrics.
+    # has a model axis > 1, fused (single score+select Pallas kernel; dot-
+    # scoring models on single-device TPU) or chunked (never materialize
+    # (B, N)) when num_items >= eval_chunk_threshold, full otherwise.
+    # "full" / "chunked" / "fused" / "topk" force a strategy. All produce
+    # identical metrics.
     eval_mode: str = "auto"
     eval_chunk_size: int = 65536
     eval_chunk_threshold: int = 131072
@@ -80,5 +84,5 @@ class RunConfig(Config):
         assert self.test_thread > 0
         assert isinstance(self.seed, int)
         assert self.compute_dtype in ("float32", "bfloat16")
-        assert self.eval_mode in ("auto", "full", "chunked", "topk")
+        assert self.eval_mode in ("auto", "full", "chunked", "fused", "topk")
         assert self.eval_chunk_size > 0 and self.eval_chunk_threshold > 0

@@ -32,6 +32,9 @@ class HyperOpt:
         self._run_config = run_config
         self._model_class = model_class
         self._config_class = config_class
+        # (run_config.compute_dtype is routed into the model config by
+        # AbstractRecommender.__init__ — one mechanism for the CLI/HyperOpt
+        # path AND direct library construction.)
         self._fixed_params = fixed_params
         self._current_model = None
         self._best_trial_str = None

@@ -204,3 +204,99 @@ def test_fpmc_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
     assert not m2._use_flat, "TP must route away from the flat raveled step"
     for k in r1.results:
         np.testing.assert_allclose(r2[k], r1[k], rtol=1e-4, atol=1e-7)
+
+
+def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
+    """SASRec on a (4, 2) mesh: training is data-parallel (tower params are
+    tiny and stay replicated), but EVALUATION routes through the tower
+    predict_topk — catalog scoring sharded over the item axis with a
+    two-stage merge — and must reproduce single-device metrics (VERDICT r2
+    directive #3)."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.SASRec import SASRec
+
+    hp = dict(lr=0.01, hidden_units=16, max_len=10, num_blocks=1,
+              num_heads=1, batch_size=32, epochs=2, early_stop=5)
+    m1, r1 = _fit(SASRec, data_dir, hp)
+    calls = []
+    orig = RankingEvaluator.evaluate_topk
+
+    def spy(self, model, num_items, test_users=None):
+        calls.append(num_items)
+        return orig(self, model, num_items, test_users)
+
+    monkeypatch.setattr(RankingEvaluator, "evaluate_topk", spy)
+    m2, r2 = _fit(SASRec, data_dir, hp, mesh_shape=(4, 2))
+    assert calls, "a model-axis mesh must route tower eval through topk"
+    for k in r1.results:
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-4, atol=1e-7)
+
+    # two-stage sharded top-k == full-matrix top-k on the trained model
+    users = np.arange(16)
+    vals, idx = m2.predict_topk(users, 10)
+    rv, ri = jax.lax.top_k(jnp.asarray(m2.predict(users)), 10)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+@pytest.mark.parametrize("name,params", [
+    ("BERT4Rec", dict(lr=0.01, h_size=8, max_seq_len=8, n_layers=1,
+                      att_heads=1, batch_size=32)),
+    ("Caser", dict(lr=0.01, embed_size=8, seq_L=4, seq_T=2, nv=2, nh=4,
+                   batch_size=128)),
+    ("HGN", dict(lr=0.01, seq_L=4, seq_T=2, embed_size=8, batch_size=128)),
+    ("SGAT", dict(lr=0.01, embed_size=8, n_layers=2, n_seqs=3, n_next=1,
+                  batch_size=128)),
+])
+def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
+                                    monkeypatch):
+    """Every sequence tower evaluates tensor-parallel on a model-axis mesh
+    with metrics equal to the full (B, N) evaluation — including HGN/Caser's
+    reference-parity pad column (_eval_width) and SGAT's non-dot euclidean
+    score (custom _topk_score_fn)."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.utils import ModelRegistry
+
+    reg = ModelRegistry()
+    assert reg.load_skrx_model(name)
+    cls, _ = reg.get_model(name)
+    run = _run_config(data_dir, mesh_shape=(4, 2))
+    run.recommender = name
+    m = cls(run, dict(params, epochs=1, early_stop=1))
+    m.fit()
+    if name == "SGAT":  # derived predict state for the mixin paths
+        m._final_items = m._propagate_items(m.params)
+    full = m.evaluator._evaluate_full(m)
+    routed = m.evaluator.evaluate(m)  # model axis > 1 -> topk route
+    for k in full.metrics():
+        np.testing.assert_allclose(routed[k], full[k], rtol=1e-5, atol=1e-7)
+
+
+def test_tower_fused_eval_matches_full(data_dir, tmp_path, monkeypatch):
+    """Fused (dot_topk) evaluation now also covers dot towers via
+    _topk_factors: SASRec (no bias) and HGN (bias + reference-parity pad
+    column, catalog width N+1) both match full metrics."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.HGN import HGN
+    from skrx.models.SASRec import SASRec
+
+    run = _run_config(data_dir)
+    m = SASRec(run, dict(lr=0.01, hidden_units=16, max_len=10, num_blocks=1,
+                         num_heads=1, batch_size=32, epochs=1, early_stop=1))
+    m.fit()
+    full = m.evaluator._evaluate_full(m)
+    fused = m.evaluator.evaluate_fused(m, num_items=m.num_items)
+    for k in full.metrics():
+        np.testing.assert_allclose(fused[k], full[k], rtol=1e-5, atol=1e-7)
+
+    run2 = _run_config(data_dir)
+    run2.recommender = "HGN"
+    h = HGN(run2, dict(lr=0.01, seq_L=4, seq_T=2, embed_size=8,
+                       batch_size=128, epochs=1, early_stop=1))
+    h.fit()
+    full_h = h.evaluator._evaluate_full(h)
+    fused_h = h.evaluator.evaluate_fused(h, num_items=h._eval_width)
+    for k in full_h.metrics():
+        np.testing.assert_allclose(fused_h[k], full_h[k], rtol=1e-5,
+                                   atol=1e-7)
