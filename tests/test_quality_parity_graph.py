@@ -14,8 +14,9 @@ training loops (same data, same evaluator) within run-to-run variance.
 The torch loops use dense adjacency matmuls (exact at this 120x200 scale)
 where the reference uses torch.sparse.
 
-Criterion: skrx best NDCG@10 >= 0.9 x the torch loop's best (different RNG
-streams; skrx typically exceeds the torch number). Everything is pinned
+Criterion: two-sided, two-metric (tests/parity_utils.py) — skrx's
+best-NDCG@10-epoch NDCG@10 AND Recall@10 must land inside calibrated
+bands around the reference loop's (measured table: BASELINE.md).
 (numpy global RNG, skrx host RNG, torch seed), so runs are reproducible.
 """
 import numpy as np
@@ -27,6 +28,7 @@ torch = pytest.importorskip("torch")
 from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import InteractionIterator, PairwiseIterator, RSDataset
+from .parity_utils import assert_parity, track_best
 
 D = 16
 
@@ -51,12 +53,12 @@ def dataset(tmp_path_factory):
 def _evaluator(ds):
     return RankingEvaluator(ds.train_data.to_user_dict(),
                             ds.test_data.to_user_dict(),
-                            metric=("NDCG",), top_k=(10,), batch_size=64)
+                            metric=("NDCG", "Recall"), top_k=(10,), batch_size=64)
 
 
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
-                     sep="\t", metric=("NDCG",), top_k=(10,),
+                     sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                      test_batch_size=64, seed=2021)
 
 
@@ -142,7 +144,7 @@ class _TorchLayerGCN:
 
     def fit_and_best(self, evaluator, epochs=15):
         it = PairwiseIterator(self.ds.train_data, batch_size=256, shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.pre_epoch()
             for users, pos, neg in it:
@@ -157,7 +159,7 @@ class _TorchLayerGCN:
                              + self.ie[j].pow(2).sum())
                 loss = mf + self.reg * reg
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -176,8 +178,7 @@ def test_layergcn_quality_parity(dataset, tmp_path, monkeypatch):
                       dict(lr=0.01, reg=1e-3, embed_dim=D, n_layers=2,
                            dropout=0.2, batch_size=256, epochs=15,
                            early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("layergcn", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -215,7 +216,7 @@ class _TorchSelfCF(torch.nn.Module):
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         it = InteractionIterator(self.ds.train_data, batch_size=256,
                                  shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.train()
             for users, items in it:
@@ -241,7 +242,7 @@ class _TorchSelfCF(torch.nn.Module):
                 loss = loss_ui + loss_iu + self.reg * reg_loss
                 opt.zero_grad(); loss.backward(); opt.step()
             self.eval()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -266,8 +267,7 @@ def test_selfcf_quality_parity(dataset, tmp_path, monkeypatch):
     # is {0.79, 1.26, 0.93} (mean 0.99): parity holds on average but the
     # BYOL + random-rate edge-dropout dynamic makes single draws noisy
     # (sigma ~0.2), so the bar is 0.8 here.
-    assert result["NDCG@10"] > 0.8 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("selfcf", result, torch_best, lower=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -334,7 +334,7 @@ class _TorchLightGCL(torch.nn.Module):
     def fit_and_best(self, evaluator, epochs=15, lr=0.01):
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         it = PairwiseIterator(self.ds.train_data, batch_size=256, shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             for users, pos, neg in it:
                 u = torch.from_numpy(users).long()
@@ -343,7 +343,7 @@ class _TorchLightGCL(torch.nn.Module):
                 iids = torch.cat([i, j], 0)
                 loss = self.fwd_train(u, iids, i, j)
                 opt.zero_grad(); loss.backward(); opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -362,8 +362,9 @@ def test_lightgcl_quality_parity(dataset, tmp_path, monkeypatch):
                       dict(lr=0.01, lambda1=0.2, d=D, gnn_layer=2, svd_q=4,
                            dropout=0.0, temp=0.2, lambda2=1e-7,
                            batch_size=256, epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    # skrx's pinned draw runs hot here (1.54x measured round 3); the
+    # upper band still catches objective-level divergence (>2x)
+    assert_parity("lightgcl", result, torch_best, upper=2.0)
 
 
 # --------------------------------------------------------------------------
@@ -466,7 +467,7 @@ class _TorchDENS(torch.nn.Module):
         it = PairwiseIterator(self.ds.train_data,
                               num_neg=self.K * self.n_negs,
                               batch_size=256, shuffle=True)
-        best = -1.0
+        best = None
         for epoch in range(epochs):
             for users, pos, neg in it:
                 u = torch.from_numpy(users).long()
@@ -477,7 +478,7 @@ class _TorchDENS(torch.nn.Module):
             with torch.no_grad():
                 ug, ig = self.gcn()
                 self._u_final, self._i_final = ug.mean(1), ig.mean(1)
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -491,10 +492,10 @@ def test_dens_quality_parity(dataset, tmp_path, monkeypatch):
     torch_best = _TorchDENS(ds).fit_and_best(_evaluator(ds))
 
     from skrx.models.DENS import DENS
+
     result = DENS(_run(path, "DENS"),
                   dict(lr=0.01, l2=1e-4, gamma=0.3, dim=D, context_hops=2,
                        K=1, n_negs=4, ns="dens", pool="mean", warmup=10,
                        mess_dropout=False, edge_dropout=False,
                        batch_size=256, epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("dens", result, torch_best)

@@ -16,8 +16,9 @@ The torch loops use dense adjacency matmuls (exact at 100x160 scale) where
 the reference uses torch.sparse. Layers the reference leaves at torch
 defaults (image/text trs Linears, gates) stay at torch defaults here.
 
-Criterion: skrx best NDCG@10 >= 0.9 x the torch loop's best unless a
-measured spread note says otherwise. All RNG streams are pinned.
+Criterion: two-sided, two-metric (tests/parity_utils.py) — skrx's
+best-NDCG@10-epoch NDCG@10 AND Recall@10 must land inside calibrated
+bands around the reference loop's (measured table: BASELINE.md).
 """
 import numpy as np
 import pytest
@@ -28,6 +29,7 @@ torch = pytest.importorskip("torch")
 from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import InteractionIterator, PairwiseIterator, RSDataset
+from .parity_utils import assert_parity, track_best
 
 D = 16
 K = 5  # knn_k
@@ -54,12 +56,12 @@ def mm_dataset(tmp_path_factory):
 def _evaluator(ds):
     return RankingEvaluator(ds.train_data.to_user_dict(),
                             ds.test_data.to_user_dict(),
-                            metric=("NDCG",), top_k=(10,), batch_size=64)
+                            metric=("NDCG", "Recall"), top_k=(10,), batch_size=64)
 
 
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
-                     sep="\t", metric=("NDCG",), top_k=(10,),
+                     sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                      test_batch_size=64, seed=2021)
 
 
@@ -168,7 +170,7 @@ class _TorchFREEDOM(torch.nn.Module):
     def fit_and_best(self, evaluator, epochs=15, lr=0.01):
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         it = PairwiseIterator(self.ds.train_data, batch_size=256, shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.pre_epoch()
             for users, pos, neg in it:
@@ -187,7 +189,7 @@ class _TorchFREEDOM(torch.nn.Module):
                 loss = loss + self.reg * (bpr(ua[u], tf[i], tf[j])
                                           + bpr(ua[u], vf[i], vf[j]))
                 opt.zero_grad(); loss.backward(); opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -207,8 +209,7 @@ def test_freedom_quality_parity(mm_dataset, tmp_path, monkeypatch):
                           n_mm_layers=1, n_ui_layers=2, knn_k=K,
                           mm_image_weight=0.5, dropout=0.8, batch_size=256,
                           epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("freedom", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -294,7 +295,7 @@ class _TorchLATTICE(torch.nn.Module):
         sched = torch.optim.lr_scheduler.LambdaLR(
             opt, lr_lambda=lambda e: 0.96 ** (e / 50))
         it = PairwiseIterator(self.ds.train_data, batch_size=256, shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             build = True
             for users, pos, neg in it:
@@ -311,7 +312,7 @@ class _TorchLATTICE(torch.nn.Module):
                 loss = mf + self.reg * regz
                 opt.zero_grad(); loss.backward(); opt.step()
             sched.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -333,8 +334,7 @@ def test_lattice_quality_parity(mm_dataset, tmp_path, monkeypatch):
                           early_stop=15)).fit()
     # 3-seed skrx/torch best-NDCG ratios: {0.93, 0.81, 1.00} (mean 0.91,
     # sigma 0.09) — bar = mean - 1 sigma
-    assert result["NDCG@10"] > 0.8 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("lattice", result, torch_best, lower=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -432,7 +432,7 @@ class _TorchSLMRec(torch.nn.Module):
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         it = InteractionIterator(self.ds.train_data, batch_size=256,
                                  shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             for users, pos in it:
                 u = torch.from_numpy(users).long()
@@ -441,7 +441,7 @@ class _TorchSLMRec(torch.nn.Module):
                 opt.zero_grad(); loss.backward(); opt.step()
             with torch.no_grad():
                 self.all_users, self.all_items = self.compute()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -464,8 +464,7 @@ def test_slmrec_quality_parity(mm_dataset, tmp_path, monkeypatch):
     # 3-seed skrx/torch best-NDCG ratios: {0.77, 0.78, 1.13} (mean 0.89,
     # sigma 0.20) — in-batch InfoNCE on 100 users is the noisiest comparison
     # in the suite; bar = mean - ~0.7 sigma
-    assert result["NDCG@10"] > 0.75 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("slmrec", result, torch_best, lower=0.75)
 
 
 # --------------------------------------------------------------------------
@@ -568,7 +567,7 @@ class _TorchMGCN(torch.nn.Module):
             opt, lr_lambda=lambda e: 0.96 ** (e / 50))
         it = PairwiseIterator(self.ds.train_data, batch_size=256, shuffle=True)
         nu = self.ds.num_users
-        best = -1.0
+        best = None
         for _ in range(epochs):
             for users, pos, neg in it:
                 u = torch.from_numpy(users).long()
@@ -585,7 +584,7 @@ class _TorchMGCN(torch.nn.Module):
                 loss = mf + self.reg * regz + self.cl_w * cl
                 opt.zero_grad(); loss.backward(); opt.step()
             sched.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -600,11 +599,11 @@ def test_mgcn_quality_parity(mm_dataset, tmp_path, monkeypatch):
     torch_best = _TorchMGCN(ds).fit_and_best(_evaluator(ds))
 
     from skrx.models.MGCN import MGCN
+
     result = MGCN(_run(path, "MGCN"),
                   dict(lr=0.01, reg=1e-4, embed_dim=D, n_ui_layers=2,
                        n_layers=1, knn_k=K, cl_loss=0.001, batch_size=256,
                        epochs=15, early_stop=15)).fit()
     # 3-seed skrx/torch best-NDCG ratios: {0.91, 0.85, 0.98} (mean 0.91,
     # sigma 0.06) — bar = mean - 1 sigma
-    assert result["NDCG@10"] > 0.85 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("mgcn", result, torch_best, lower=0.85)

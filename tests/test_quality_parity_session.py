@@ -9,8 +9,9 @@
                 SGD kernel (pyx_aobpr_func.pyx:30-143) in NumPy, vs skrx's
                 documented vectorized reformulation
 
-Criterion: skrx best NDCG@10 >= 0.9 x the reference loop's best unless a
-measured spread note says otherwise. All RNG streams are pinned.
+Criterion: two-sided, two-metric (tests/parity_utils.py) — skrx's
+best-NDCG@10-epoch NDCG@10 AND Recall@10 must land inside calibrated
+bands around the reference loop's (measured table: BASELINE.md).
 """
 import numpy as np
 import pytest
@@ -22,6 +23,7 @@ from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import RSDataset
 from skrx.utils.random import randint_choice
+from .parity_utils import assert_parity, track_best
 
 D = 16
 
@@ -46,12 +48,12 @@ def dataset(tmp_path_factory):
 def _evaluator(ds):
     return RankingEvaluator(ds.train_data.to_user_dict(),
                             ds.test_data.to_user_dict(),
-                            metric=("NDCG",), top_k=(10,), batch_size=64)
+                            metric=("NDCG", "Recall"), top_k=(10,), batch_size=64)
 
 
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
-                     sep="\t", metric=("NDCG",), top_k=(10,),
+                     sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                      test_batch_size=64, seed=2021)
 
 
@@ -107,7 +109,7 @@ class _TorchGRU4RecPlus(torch.nn.Module):
 
     def fit_and_best(self, evaluator, epochs=15, bs=16):
         from skrx.models.GRU4Rec import build_walker_schedule
-        best = -1.0
+        best = None
         for ep in range(epochs):
             rng = np.random.default_rng((123, ep))
             perm = rng.permutation(self._n_sessions)
@@ -126,7 +128,7 @@ class _TorchGRU4RecPlus(torch.nn.Module):
                 logits = state @ self.out_emb(out).T + self.out_bias[out]
                 loss = self._bpr_max(logits)
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -156,8 +158,7 @@ def test_gru4recplus_quality_parity(dataset, tmp_path, monkeypatch):
                               bpr_reg=1.0, n_sample=32, sample_alpha=0.75,
                               batch_size=16, epochs=15,
                               early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("gru4recplus", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +199,7 @@ class _TorchCDAE(torch.nn.Module):
     def fit_and_best(self, evaluator, epochs=15, lr=0.01, bs=64):
         opt = torch.optim.Adam(self.parameters(), lr=lr)
         users_all = np.nonzero(self.train_mat.sum(1) > 0)[0]
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.train()
             order = users_all.copy()
@@ -236,7 +237,7 @@ class _TorchCDAE(torch.nn.Module):
                 loss = loss + self.reg * reg
                 opt.zero_grad(); loss.backward(); opt.step()
             self.eval()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -259,8 +260,7 @@ def test_cdae_quality_parity(dataset, tmp_path, monkeypatch):
                        num_neg=5, hidden_act="sigmoid",
                        loss_func="sigmoid_cross_entropy", batch_size=64,
                        epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("cdae", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -319,10 +319,10 @@ class _NumpyAOBPR:
             self.I[neg] = j_new
 
     def fit_and_best(self, evaluator, epochs=15):
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self._epoch()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -339,8 +339,11 @@ def test_aobpr_quality_parity(dataset, tmp_path, monkeypatch):
     ref_best = _NumpyAOBPR(ds).fit_and_best(_evaluator(ds))
 
     from skrx.models.AOBPR import AOBPR
+
     result = AOBPR(_run(path, "AOBPR"),
                    dict(lr=0.05, reg=0.01, embed_size=D, alpha=50,
                         batch_size=256, epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * ref_best, \
-        (float(result["NDCG@10"]), ref_best)
+    # AOBPR is a DOCUMENTED deviation (vectorized rank-sampling
+    # reformulation, DEVIATIONS.md) measured consistently better than the
+    # reference loop (1.47x round 3) — wider upper band
+    assert_parity("aobpr", result, ref_best, upper=2.0)

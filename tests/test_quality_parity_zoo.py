@@ -15,8 +15,9 @@ This file: the remaining sequential towers + the heuristic baseline.
 * HGN      — feature/instance gating, BPR sum over seq_T targets
              (HGN.py:101-207)
 
-Criterion (stochastic models): skrx best NDCG@10 >= 0.9 x the torch loop's
-best (different RNG streams; skrx typically exceeds the torch number).
+Criterion: two-sided, two-metric (tests/parity_utils.py) — skrx's
+best-NDCG@10-epoch NDCG@10 AND Recall@10 must land inside calibrated
+bands around the reference loop's (measured table: BASELINE.md).
 """
 import numpy as np
 import pytest
@@ -29,6 +30,7 @@ from skrx.eval import RankingEvaluator
 from skrx.io import RSDataset, SequentialPairwiseIterator
 
 from .oracle import eval_score_matrix_oracle
+from .parity_utils import assert_parity, track_best
 
 D = 16
 
@@ -56,12 +58,12 @@ def dataset(tmp_path_factory):
 def _evaluator(ds):
     return RankingEvaluator(ds.train_data.to_user_dict(),
                             ds.test_data.to_user_dict(),
-                            metric=("NDCG",), top_k=(10,), batch_size=64)
+                            metric=("NDCG", "Recall"), top_k=(10,), batch_size=64)
 
 
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
-                     sep="\t", metric=("NDCG",), top_k=(10,),
+                     sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
                      test_batch_size=64, seed=2021)
 
 
@@ -131,7 +133,7 @@ class _TorchTransRec:
         it = SequentialPairwiseIterator(self.ds.train_data, num_previous=1,
                                         num_next=1, batch_size=256,
                                         shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             for users, seqs, pos, neg in it:
                 u = torch.from_numpy(users).long()
@@ -148,7 +150,7 @@ class _TorchTransRec:
                              + self.bias(j).pow(2).sum())
                 loss = loss + self.reg * reg
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -171,8 +173,7 @@ def test_transrec_quality_parity(dataset, tmp_path, monkeypatch):
     result = TransRec(_run(path, "TransRec"),
                       dict(lr=0.01, reg=0.01, embed_size=D, batch_size=256,
                            epochs=15, early_stop=15)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("transrec", result, torch_best)
 
 
 # --------------------------------------------------------------------------
@@ -243,7 +244,7 @@ class _TorchCaserRunner:
                                         num_previous=self.L, num_next=self.T,
                                         pad=self.pad, batch_size=256,
                                         shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.net.train()
             for users, seqs, pos, neg in it:
@@ -261,7 +262,7 @@ class _TorchCaserRunner:
                             reduction="none")).mean()
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
             self.net.eval()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -286,8 +287,7 @@ def test_caser_quality_parity(dataset, tmp_path, monkeypatch):
     # Measured over 3 seed pairs at 20 epochs the skrx/torch best-NDCG ratio
     # is {0.85, 1.06, 1.17} (mean 1.03): parity holds on average but a
     # single-draw comparison has sigma ~0.15, so the bar is 0.8 here.
-    assert result["NDCG@10"] > 0.8 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("caser", result, torch_best, lower=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -372,7 +372,7 @@ class _TorchHGNRunner:
                                         num_previous=self.L, num_next=self.T,
                                         pad=self.pad, batch_size=256,
                                         shuffle=True)
-        best = -1.0
+        best = None
         for _ in range(epochs):
             self.net.train()
             for users, seqs, pos, neg in it:
@@ -385,7 +385,7 @@ class _TorchHGNRunner:
                 loss = -torch.nn.functional.logsigmoid(yui - yuj).sum()
                 self.opt.zero_grad(); loss.backward(); self.opt.step()
             self.net.eval()
-            best = max(best, evaluator.evaluate(self)["NDCG@10"])
+            best = track_best(best, evaluator, self)
         return best
 
     def predict(self, users):
@@ -406,5 +406,4 @@ def test_hgn_quality_parity(dataset, tmp_path, monkeypatch):
     result = HGN(_run(path, "HGN"),
                  dict(lr=0.01, reg=0.001, embed_size=D, seq_L=5, seq_T=3,
                       batch_size=256, epochs=12, early_stop=12)).fit()
-    assert result["NDCG@10"] > 0.9 * torch_best, \
-        (float(result["NDCG@10"]), torch_best)
+    assert_parity("hgn", result, torch_best)
