@@ -74,7 +74,7 @@ def _pad_rank_sentinel(idx: jnp.ndarray, k: int, num_items: int):
 
 
 def _use_blockwise(n: int, k: int) -> bool:
-    # the threshold-prune needs n/sub_n >= k sub-block maxima (sub_n=128)
+    # the threshold-prune needs n/128 >= k stride-128 group maxima
     # for a finite tau, with margin so tau stays tight; below that the
     # kernel degrades toward the naive k*N argmax loop
     return (n >= _BLOCKWISE_TOPK_MIN_N and n // 128 >= 2 * k

@@ -53,10 +53,13 @@ __all__ = ["dot_topk"]
 
 
 def _scores_block(uv_ref, items_ref, bias_ref, packed_ref, interpret):
-    """(block_b, block_n) masked score block from VMEM-resident operands."""
+    """(block_b, block_n) masked score block from VMEM-resident operands;
+    ``items_ref`` holds a (d, block_n) TRANSPOSED item slab (so the HBM
+    item stream is exactly N*d elements — an (N, d) layout would pad the
+    lane dim to 128, doubling traffic at d=64)."""
     scores = jax.lax.dot_general(
         uv_ref[...], items_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     scores = scores + bias_ref[...]
     if packed_ref is not None:
@@ -64,11 +67,10 @@ def _scores_block(uv_ref, items_ref, bias_ref, packed_ref, interpret):
     return scores
 
 
-def _dot_submax_kernel(n_sub_pb, groups_pb, interpret, uv_ref, items_ref,
+def _dot_submax_kernel(interpret, uv_ref, items_ref,
                        bias_ref, packed_ref, out_ref):
-    j = pl.program_id(1)
     block = _scores_block(uv_ref, items_ref, bias_ref, packed_ref, interpret)
-    emit_submaxes(block, out_ref, j, n_sub_pb, groups_pb)
+    emit_submaxes(block, out_ref)
 
 
 def _dot_extract_kernel(k, k_eff, interpret, uv_ref, items_ref, bias_ref,
@@ -80,11 +82,10 @@ def _dot_extract_kernel(k, k_eff, interpret, uv_ref, items_ref, bias_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "block_b", "sub_n",
-                                    "interpret"))
+                   static_argnames=("k", "block_n", "block_b", "interpret"))
 def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
              mask_table: jnp.ndarray = None, block_n: int = 4096,
-             block_b: int = 256, sub_n: int = 128,
+             block_b: int = 256,
              interpret: bool = False):
     """Exact (values, indices) top-k per row of ``uv @ items.T + bias``,
     with ``mask_table`` items excluded, never materializing (B, N).
@@ -96,12 +97,14 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
 
     Same exactness/tie-break semantics and the same gating advice as
     ``blockwise_topk`` (route catalogs below ~32k items to lax.top_k).
+    ``block_n`` must be 128 * a power of two (fold-tree threshold pass).
     """
     b, d = uv.shape
     n = items.shape[0]
     assert items.shape[1] == d
     assert d <= 512, "re-budget VMEM before using dot_topk beyond d=512"
-    assert block_n % _BITS == 0 and block_n % sub_n == 0
+    assert block_n % 128 == 0 and (block_n // 128) & (block_n // 128 - 1) \
+        == 0, "block_n must be 128 * a power of two"
     if mask_table is not None and not interpret:
         assert block_n % (_BITS * 128) == 0, \
             "masked block_n must be a multiple of 4096 on TPU"
@@ -110,15 +113,17 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
     nb_b = -(-b // block_b)
     padded_n = n_blocks * block_n
     w32 = block_n // _BITS
-    n_sub_pb = block_n // sub_n
-    groups_pb = max(128 // n_sub_pb, 1)
-    n_sub = n_blocks * n_sub_pb
+    n_sub = n_blocks * 128
 
-    # pad the contraction dim to a lane multiple (zeros — scores unchanged)
-    d_pad = -(-d // 128) * 128 - d
-    if d_pad:
-        uv = jnp.pad(uv, ((0, 0), (0, d_pad)))
-        items = jnp.pad(items, ((0, 0), (0, d_pad)))
+    # pad the contraction dim to a SUBLANE multiple only: the item slab is
+    # streamed transposed as (d, N), so d rides the 8-sublane f32 tile and
+    # the HBM item traffic is N*d*4 bytes — an (N, d) layout would pad d to
+    # the 128-lane tile (2x the bytes at d=64). uv is lane-padded instead
+    # (a (B, d) sliver, negligible).
+    d_sub = -(-d // 8) * 8
+    if d_sub != d:
+        uv = jnp.pad(uv, ((0, 0), (0, d_sub - d)))
+        items = jnp.pad(items, ((0, 0), (0, d_sub - d)))
     # catalog padding: zero item rows scored to -inf THROUGH THE BIAS so pad
     # columns can never rank (0-vector items would otherwise score 0)
     if bias is None:
@@ -126,6 +131,7 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
     if padded_n != n:
         items = jnp.pad(items, ((0, padded_n - n), (0, 0)))
         bias = jnp.pad(bias, (0, padded_n - n), constant_values=-jnp.inf)
+    items_t = items.T                                # (d_sub, padded_n)
     bias2 = bias.reshape(1, padded_n)
 
     packed = None
@@ -137,11 +143,11 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
 
     def specs():
         in_specs = [
-            pl.BlockSpec((block_b, d + d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_n, d + d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_b, d_sub), lambda i, j: (i, 0)),
+            pl.BlockSpec((d_sub, block_n), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
         ]
-        ops = [uv, items, bias2]
+        ops = [uv, items_t, bias2]
         if packed is not None:
             in_specs.append(pl.BlockSpec((block_b, w32), lambda i, j: (i, j)))
             ops.append(packed)
@@ -149,29 +155,27 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
 
     in_specs, operands = specs()
     if packed is not None:
-        bm_kernel = functools.partial(_dot_submax_kernel, n_sub_pb, groups_pb,
-                                      interpret)
+        bm_kernel = functools.partial(_dot_submax_kernel, interpret)
     else:
         def bm_kernel(uv_ref, items_ref, bias_ref, out_ref):
-            return _dot_submax_kernel(n_sub_pb, groups_pb, interpret, uv_ref,
+            return _dot_submax_kernel(interpret, uv_ref,
                                       items_ref, bias_ref, None, out_ref)
-    n_groups = -(-n_blocks // groups_pb)
-    sub_tile = max(n_sub_pb, 128)
     bm = pl.pallas_call(
         bm_kernel,
         grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, sub_tile),
-                               lambda i, j: (i, j // groups_pb)),
-        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, n_groups * sub_tile),
+        out_specs=pl.BlockSpec((block_b, 128), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, n_sub),
                                        jnp.float32),
         interpret=interpret,
-    )(*operands)[:b, :n_sub]
+    )(*operands)[:b]
 
     if n_sub >= k:
-        iota = jnp.broadcast_to(jnp.arange(n_sub, dtype=jnp.int32)[None, :],
-                                bm.shape)
-        tau = vmem_topk(bm, iota, k, interpret=interpret)[0][:, k - 1:k]
+        from .topk_blocks import _TAU_MAX_W, _fold_submaxes
+        bmf = _fold_submaxes(bm, max(_TAU_MAX_W, 2 * (-(-k // 128) * 128)))
+        iota = jnp.broadcast_to(
+            jnp.arange(bmf.shape[1], dtype=jnp.int32)[None, :], bmf.shape)
+        tau = vmem_topk(bmf, iota, k, interpret=interpret)[0][:, k - 1:k]
     else:
         tau = jnp.full((b, 1), -jnp.inf, jnp.float32)
     tau = jnp.broadcast_to(tau, (b, 128))

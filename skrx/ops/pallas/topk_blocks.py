@@ -170,35 +170,35 @@ def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
     return out_v[:b, :k], out_i[:b, :k]
 
 
-def emit_submaxes(block, out_ref, j, n_sub_pb, groups_pb):
-    """Write this (masked) block's per-row sub-block maxima into lanes
-    [ (j % groups_pb) * n_sub_pb + s ] of a (block_b, >=128) output block
-    shared by ``groups_pb`` consecutive item blocks (the out block stays
-    VMEM-resident across them). Shared by the score-reading and the
-    matmul-producing (dot_topk) threshold kernels."""
-    @pl.when(j % groups_pb == 0)
-    def _():
-        out_ref[...] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
+def emit_submaxes(block, out_ref):
+    """Write this (masked) block's per-row STRIDED-group maxima into the
+    (block_b, 128) output block: group l = block columns c with
+    c % 128 == l, reduced by a log2(block_n/128)-step elementwise fold of
+    aligned halves (fold of [:half] with [half:] composes to stride-128
+    groups). The tau bound holds for ANY partition of the columns into
+    groups — at least k groups have max >= tau and each contributes one
+    element >= tau — and these 32-element groups give a strictly TIGHTER
+    tau than contiguous 128-wide sub-blocks (merging two groups deletes the
+    smaller max from the multiset tau is selected from, so finer partitions
+    can only raise the k-th largest group max). Unlike the per-sub-slice
+    max+select loop this replaced, the fold is pure aligned elementwise
+    VPU work: no cross-lane reductions, no lane-iota selects (measured
+    ~2.3x on the threshold pass — see module header). Shared by the
+    score-reading and the matmul-producing (dot_topk) threshold kernels."""
+    h = block
+    while h.shape[1] > 128:
+        half = h.shape[1] // 2
+        h = jnp.maximum(h[:, :half], h[:, half:])
+    out_ref[...] = h.astype(out_ref.dtype)
 
-    sub = block.shape[1] // n_sub_pb
-    lanes = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
-    base = (j % groups_pb) * n_sub_pb
-    acc = out_ref[...]
-    for s in range(n_sub_pb):                        # static unroll
-        m = jnp.max(block[:, s * sub:(s + 1) * sub], axis=1, keepdims=True)
-        acc = jnp.where(lanes == base + s, m, acc)
-    out_ref[...] = acc
 
-
-def _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref, packed_ref,
-                   out_ref):
-    """Per-row max of every sub_n-wide sub-block of this (block_b, block_n)
-    score block (see :func:`emit_submaxes`)."""
-    j = pl.program_id(1)
+def _submax_kernel(interpret, scores_ref, packed_ref, out_ref):
+    """Strided-group maxima of this (block_b, block_n) score block (see
+    :func:`emit_submaxes`)."""
     block = scores_ref[...]                          # (B, BN)
     if packed_ref is not None:
         block = _apply_mask(block, packed_ref[...], interpret)
-    emit_submaxes(block, out_ref, j, n_sub_pb, groups_pb)
+    emit_submaxes(block, out_ref)
 
 
 def extract_block(block, tau, k, k_eff, offset, vals_ref, idx_ref,
@@ -276,11 +276,33 @@ def pack_mask(mask_table, b: int, n: int, n_blocks: int, block_n: int):
         jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0)), mode="drop")
 
 
+def _fold_submaxes(bm: jnp.ndarray, max_w: int) -> jnp.ndarray:
+    """Fold a (B, n_sub) group-max matrix down to width <= max_w by pairwise
+    maxima (pads odd widths with -inf). Each fold step merges two strided
+    groups into one — still a partition of the catalog columns, so tau
+    selected from the folded maxima stays a valid lower bound on the k-th
+    largest element; folding only loosens tau, and is applied only when the
+    unfolded width would make the tau-selection (k argmax rounds over a
+    (B, n_sub) block) cost more than the looser prune adds (huge catalogs:
+    1M items = 31360 group maxima)."""
+    w = bm.shape[1]
+    while w > max_w:
+        if (w // 128) % 2:
+            bm = jnp.pad(bm, ((0, 0), (0, 128)), constant_values=-jnp.inf)
+            w += 128
+        half = w // 2
+        bm = jnp.maximum(bm[:, :half], bm[:, half:])
+        w = half
+    return bm
+
+
+_TAU_MAX_W = 4096
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "block_b", "sub_n",
-                                    "interpret"))
+                   static_argnames=("k", "block_n", "block_b", "interpret"))
 def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
-                   block_b: int = 256, sub_n: int = 128,
+                   block_b: int = 256,
                    interpret: bool = False, mask_table: jnp.ndarray = None):
     """Exact (values, indices) top-k per row of ``scores`` (B, N).
 
@@ -289,21 +311,19 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
     padding and ignored; duplicate entries are allowed) — the evaluator's
     train-item -inf masking without materializing a masked copy. Masked
     slots beyond the number of surviving items carry -inf values with
-    sentinel (out-of-range) indices. ``block_n`` must be a multiple of 4096
-    when a mask is used on real TPU (so the packed words stay 128-lane
-    aligned) and of ``sub_n``; rows are processed ``block_b`` at a time.
-    N is padded up to a block multiple with -inf.
+    sentinel (out-of-range) indices. ``block_n`` must be 128 * a power of
+    two (for the fold-tree threshold pass), and a multiple of 4096 when a
+    mask is used on real TPU (so the packed words stay 128-lane aligned);
+    rows are processed ``block_b`` at a time. N is padded up to a block
+    multiple with -inf.
 
-    The threshold prunes only when N/sub_n >= k; below that tau degrades
-    toward -inf and extraction pays up to k argmax rounds per block — route
-    small catalogs to plain ``lax.top_k`` instead (see skrx/ops/metrics.py
-    gating).
+    The threshold prunes only when there are >= k stride-128 column groups
+    (n_sub = n_blocks*128 >= k); below that tau degrades toward -inf and
+    extraction pays up to k argmax rounds per block — route small catalogs
+    to plain ``lax.top_k`` instead (see skrx/ops/metrics.py gating).
     """
-    assert block_n % _BITS == 0, "block_n must be a multiple of 32"
-    sub_n = min(sub_n, block_n)
-    assert block_n % sub_n == 0, "block_n must be a multiple of sub_n"
-    assert 128 % (block_n // sub_n) == 0 or (block_n // sub_n) % 128 == 0, \
-        "sub-maxes per block must tile the 128-lane output"
+    assert block_n % 128 == 0 and (block_n // 128) & (block_n // 128 - 1) \
+        == 0, "block_n must be 128 * a power of two"
     if mask_table is not None and not interpret:
         # packed words per block must stay 128-lane aligned on real TPU
         assert block_n % (_BITS * 128) == 0, \
@@ -314,9 +334,7 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
     nb_b = -(-b // block_b)
     padded_n = n_blocks * block_n
     w32 = block_n // _BITS                           # words per block
-    n_sub_pb = block_n // sub_n                      # sub-maxes per block
-    groups_pb = max(128 // n_sub_pb, 1)              # blocks per submax tile
-    n_sub = n_blocks * n_sub_pb
+    n_sub = n_blocks * 128                           # stride-128 groups
 
     packed = None
     if mask_table is not None:
@@ -339,37 +357,35 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
             ops.append(packed)
         return in_specs, ops
 
-    # threshold pass: per-row max of every sub_n-wide sub-block; Pallas so
+    # threshold pass: per-row strided-group maxima (fold tree); Pallas so
     # the bit-unpacked mask never materializes at (B, N)
     in_specs, operands = specs()
     if packed is not None:
-        bm_kernel = functools.partial(_submax_kernel, n_sub_pb, groups_pb,
-                                      interpret)
+        bm_kernel = functools.partial(_submax_kernel, interpret)
     else:
         def bm_kernel(scores_ref, out_ref):
-            return _submax_kernel(n_sub_pb, groups_pb, interpret, scores_ref,
-                                  None, out_ref)
-    n_groups = -(-n_blocks // groups_pb)
-    sub_tile = max(n_sub_pb, 128)                    # lanes per out block
+            return _submax_kernel(interpret, scores_ref, None, out_ref)
     bm = pl.pallas_call(
         bm_kernel,
         grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, sub_tile),
-                               lambda i, j: (i, j // groups_pb)),
-        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, n_groups * sub_tile),
+        out_specs=pl.BlockSpec((block_b, 128), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, n_sub),
                                        scores.dtype),
         interpret=interpret,
-    )(*operands)[:b, :n_sub]                         # (B, n_sub)
+    )(*operands)[:b]                                 # (B, n_sub)
 
-    # tau = k-th largest (masked) sub-block max: a lower bound on the k-th
+    # tau = k-th largest (masked) group max: a lower bound on the k-th
     # largest (masked) element whenever n_sub >= k; degenerate small-N case
     # uses -inf, i.e. no pruning. Selected by the VMEM top-k kernel —
     # lax.top_k's fixed ~2.7us/row would cost more than the streaming pass.
     if n_sub >= k:
-        iota = jnp.broadcast_to(jnp.arange(n_sub, dtype=jnp.int32)[None, :],
-                                bm.shape)
-        tau = vmem_topk(bm, iota, k, interpret=interpret)[0][:, k - 1:k]
+        # folding halves the width, so keep >= 2*k lanes pre-fold to
+        # guarantee the folded width stays >= k
+        bmf = _fold_submaxes(bm, max(_TAU_MAX_W, 2 * (-(-k // 128) * 128)))
+        iota = jnp.broadcast_to(
+            jnp.arange(bmf.shape[1], dtype=jnp.int32)[None, :], bmf.shape)
+        tau = vmem_topk(bmf, iota, k, interpret=interpret)[0][:, k - 1:k]
     else:
         tau = jnp.full((b, 1), -jnp.inf, scores.dtype)
     tau = jnp.broadcast_to(tau, (b, 128))  # lane-aligned VMEM operand
