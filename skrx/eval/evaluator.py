@@ -131,9 +131,10 @@ class RankingEvaluator:
         # top-k merge over catalog slices), "fused" (single-kernel score+
         # select via dot_topk — dot-scoring models only), "topk"
         # (tensor-parallel model.predict_topk), or "auto" — topk when the
-        # mesh has a model axis > 1, fused/chunked when num_items >=
-        # chunk_threshold (fused preferred on single-device TPU for models
-        # exposing dot factors), else full.
+        # mesh has a model axis > 1; fused on single-device TPU for models
+        # exposing dot factors whenever the threshold-pruned selection
+        # engages (the ops.metrics._use_blockwise gate, ~32k+ items);
+        # chunked when num_items >= chunk_threshold; else full.
         assert eval_mode in ("auto", "full", "chunked", "fused", "topk"), \
             eval_mode
         self.eval_mode = eval_mode
@@ -431,11 +432,20 @@ class RankingEvaluator:
         mode = self.eval_mode
         tp = self._model_parallel() and hasattr(model, "predict_topk")
         big = (num_items is not None and num_items >= self.chunk_threshold)
-        # single-device TPU dot models at huge catalogs: one fused
-        # score+select kernel call per batch beats the chunk dispatch loop
+        # single-device TPU dot models: the fused score+select kernel beats
+        # the materialized predict->mask->top-k pipeline from wherever the
+        # threshold-pruned selection engages (measured 0.91 ms vs 2.3 ms
+        # per (1024, 40960) batch, r3) — its item-table reads replace three
+        # (B, N) score passes — and at huge catalogs it also replaces the
+        # chunk dispatch loop. Gate exactly like ops.metrics._use_blockwise
+        # so small catalogs keep the plain lax.top_k path.
         dot_tower = (hasattr(model, "_topk_factors")
                      and getattr(model, "_topk_score_fn", None) is None)
-        fused_ok = (big and (hasattr(model, "_chunk_embeddings") or dot_tower)
+        from ..ops.metrics import _use_blockwise
+        fused_sized = (num_items is not None
+                       and _use_blockwise(num_items, self.max_top))
+        fused_ok = (fused_sized
+                    and (hasattr(model, "_chunk_embeddings") or dot_tower)
                     and self.mesh is None
                     and jax.default_backend() == "tpu")
         if fused_ok and mode == "auto":

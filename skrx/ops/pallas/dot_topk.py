@@ -27,16 +27,20 @@ f32 jnp.matmul, so ranking matches the materialized pipeline BIT-FOR-BIT
 (asserted on-chip in tests; an explicit bf16 operand cast was measured to
 produce identical bits — Mosaic and XLA share the matmul lowering).
 
-MEASURED (TPU v5e, k=50, d=64): (1024, 40960) masked 5.9 ms — vs 6.7 ms
-for XLA-matmul + blockwise_topk called back-to-back, and ~3.1 ms for the
-fully-jit-fused materialized evaluator path. Each selection pass costs the
-same ~1.5 ms whether it READS scores from HBM or RECOMPUTES them on the
-MXU (the pass cost is pipeline-bound, not traffic-bound), so at catalogs
-that fit HBM the materialized path stays the evaluator default. The fused
-kernel's value is MEMORY: (256, 1M) masked ranking runs in 15.9 ms with
-~50 MB of HBM where `predict` would materialize a 1 GB score block (4 GB
-at B=1024) — it is the single-call serving/ranking primitive for huge
-catalogs (skrx/serve.py routes to it from num_items >= 131072).
+MEASURED (TPU v5e, k=50, d=64; scalar-chained true device time — see the
+metrology note in topk_blocks.py): (1024, 40960) masked runs in 0.91 ms vs
+1.20 ms for the blockwise kernel on ALREADY-MATERIALIZED scores (which the
+full pipeline must also produce: +160 MB matmul write) — the fused kernel
+reads 2 x 10.5 MB of transposed item table per batch tile instead of three
+(B, N) score passes, so from round 3 the evaluator auto-routes dot models
+through it wherever the threshold-pruned selection engages (~32k+ items;
+round 2 measured the opposite with dispatch-inflated timings of 5.9 vs
+3.1 ms). The fused kernel's other value is MEMORY: (256, 1M) masked
+ranking runs in 1.18 ms chained / ~6 ms dispatch-inclusive with ~50 MB of
+HBM where `predict` would materialize a 1 GB score block (4 GB at B=1024)
+— the single-call serving/ranking primitive for huge catalogs
+(skrx/serve.py routes to it from num_items >= 131072; round 2's
+pre-fold-tree number was 15.9 ms).
 
 Falls back to interpret mode off-TPU (tests run it on CPU).
 """
@@ -78,7 +82,7 @@ def _dot_extract_kernel(k, k_eff, interpret, uv_ref, items_ref, bias_ref,
     j = pl.program_id(1)
     block = _scores_block(uv_ref, items_ref, bias_ref, packed_ref, interpret)
     extract_block(block, tau_ref[:, 0], k, k_eff, j * block.shape[1],
-                  vals_ref, idx_ref, scratch_ref)
+                  vals_ref, idx_ref, scratch_ref, interpret=interpret)
 
 
 @functools.partial(jax.jit,
@@ -194,20 +198,23 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
                                        vals_ref, idx_ref, scratch_ref)
 
     from jax.experimental.pallas import tpu as pltpu
+    from .topk_blocks import GROUP_ROUNDS
+    cand_w = GROUP_ROUNDS * 128 + k_eff              # candidates per block
     vals, idx = pl.pallas_call(
         kernel,
         grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j)),
-                   pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j))),
-        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+        out_specs=(pl.BlockSpec((block_b, cand_w), lambda i, j: (i, j)),
+                   pl.BlockSpec((block_b, cand_w), lambda i, j: (i, j))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * cand_w),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+                   jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * cand_w),
                                         jnp.int32)),
         scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
         interpret=interpret,
     )(*operands)
     vals, idx = vals[:b], idx[:b]
 
+    from .topk_blocks import merge_topk
     k_out = min(k, vals.shape[1])
-    return vmem_topk(vals, idx, k_out, interpret=interpret)
+    return merge_topk(vals, idx, k_out, tau=tau[:, 0], interpret=interpret)

@@ -10,29 +10,31 @@ argmax rounds per block is VPU-bound at k x N compares. This kernel cuts the
 selection work to ~O(N) with a two-pass threshold prune:
 
 1. **Threshold pass (bandwidth-bound).** Per row, compute the max of every
-   ``sub_n``-wide sub-block, then tau = k-th largest sub-block max. At least
-   k sub-blocks have max >= tau and each contributes one element >= tau, so
-   the k-th largest element v_k >= tau: every global top-k element is >= tau.
-   Fine granularity (sub_n=128 vs the 4096 extraction block) both keeps the
-   bound valid down to N ~ k*sub_n and makes tau tight: for eval score
-   distributions only ~1.1*k elements per row survive the prune.
+   STRIDED 32-element column group (group l = columns c with c % 128 == l
+   per 4096-block) by a fold tree of aligned elementwise maxima, then
+   tau = k-th largest group max. At least k groups have max >= tau and each
+   contributes one element >= tau, so the k-th largest element v_k >= tau:
+   every global top-k element is >= tau. The bound holds for ANY partition
+   of the columns into groups, and finer groups give a strictly tighter
+   tau; for eval score distributions only ~1.0-1.1*k elements per row
+   survive the prune.
 2. **Extraction pass (Pallas, grid = batch tiles x item blocks).** Each
-   program loads its (block_b, block_n) score block once and runs an
-   iterative lowest-index argmax loop (`lax.top_k` has no Pallas TPU
-   lowering) that STOPS as soon as the block max falls below tau, capped at
-   k rounds. The expected number of extraction rounds per block is
-   ~1.1*k*block_n/N << k, so the loop body runs a handful of times — the
-   kernel is dominated by the block load. (A sub-sliced variant that loops
-   128-lane slices to shrink the per-round work was measured SLOWER — the
-   per-slice `fori`/`while` machinery costs more than the rounds it saves:
-   7.3ms vs 5.6ms at (1024, 40960), 6.5ms vs 4.3ms at (64, 1M).)
-3. **Merge (Pallas VMEM top-k).** A final top-k over the (B, n_blocks*k_eff)
-   candidates via ``vmem_topk`` — k argmax rounds over the VMEM-resident
-   candidate block. XLA's ``lax.top_k`` costs a fixed ~2.7us per ROW at any
-   width on this chip (2.8ms for (1024, 128)!), which would dominate the
-   whole kernel at big batches; the same kernel also selects tau from the
-   sub-block maxima. Exactness: every global top-k element is >= tau and is
-   its block's top-<=k element, so it survives extraction; ties resolve to
+   program loads its (block_b, block_n) score block once and extracts in
+   two stages (`lax.top_k` has no Pallas TPU lowering): GROUP_ROUNDS
+   static rounds of per-group argmax (128 candidates per round via
+   fold/repeat trees — see :func:`extract_block`), then a classic
+   one-element-per-round lowest-index argmax fallback that fires only when
+   a group held more survivors, capped at k rounds and stopping as soon as
+   the block max falls below tau.
+3. **Merge (Pallas VMEM top-k).** A final sorted top-k over the
+   (B, n_blocks*cand_w) candidates via ``merge_topk`` — tau-pruned
+   extraction into a narrow scratch then k argmax rounds, width-chunked
+   for huge catalogs (see :func:`pruned_merge` / :func:`merge_topk`).
+   XLA's ``lax.top_k`` costs a fixed ~2.7us per ROW at any width on this
+   chip (2.8ms for (1024, 128)!), which would dominate the whole kernel at
+   big batches; ``vmem_topk`` also selects tau from the (folded) group
+   maxima. Exactness: every global top-k element is >= tau and is its
+   block's top-<=k element, so it survives extraction; ties resolve to
    the lower global index, matching `lax.top_k` (the merge tie-breaks on
    the candidate id value, and extraction is index-ordered within a block).
    Ties need no special casing: a tie storm (e.g. constant popularity
@@ -57,15 +59,23 @@ relayout (B, W, 32) -> (B, W*32) casts, and 3-D blocks tile only the last
 two dims, costing ~2.4x). Both passes apply the mask at block load; the
 cost is data-independent.
 
-MEASURED (TPU v5e, k=50, block_n=4096, sub_n=128, block_b=256): fused
-mask+top-k at (1024, 40960): 4.4ms vs 12.9ms XLA mask+`lax.top_k` (2.9x);
-at (64, 1M): 4.0ms masked vs 25.2ms / 41ms XLA masked / unmasked (6-10x).
-End-to-end evaluator effect (eval_score_matrix_device, N=40960, 4 metrics
-@<=50): 89.6k -> 326k users/s at B=1024, 97.5k -> 506k at B=4096 (3.6x /
-5.2x — see BASELINE.md; the lax.top_k tau+merge intermediate step measured
-275k / 368k). The two streaming passes over the scores cost ~1.4ms /
-~2.3ms each at the chip's measured ~110-117 GB/s Pallas grid rate — the
-kernel sits at ~1.5x its own two-pass bandwidth roofline.
+MEASURED (TPU v5e, k=50, block_n=4096, block_b=256; round-3 metrology —
+scalar-dependency chaining inside one jit, because a single dispatch
+through the axon tunnel costs ~1ms and per-dispatch timings of sub-ms
+kernels measure the TUNNEL, see scripts/bench_topk_stream.py): fused
+mask+top-k at (1024, 40960) runs in 1.20 ms true device time — 279 GB/s
+effective over its two 168 MB passes, ABOVE the ~240 GB/s pure-load
+streaming ceiling measured for this chip (a load+row-max kernel; invariant
+to block shape, dimension_semantics, and 1-vs-2 operand streams), i.e. the
+selection VPU work is fully hidden behind DMA and the kernel is at the
+measured memory roofline. Round-2 shape history (dispatch-inclusive
+timings): 12.9 ms XLA mask+lax.top_k -> 4.4 ms (contiguous-sub-block
+threshold pass, one-element extraction) -> 3.5 ms (fold-tree threshold
+pass) -> this. At (64, 1M) masked: 4.6 ms dispatch-inclusive vs 25.2 ms
+XLA. End-to-end evaluator batch (eval_score_matrix_device, N=40960,
+4 metrics @<=50, B=1024): 2.32 ms chained == 442k users/s of true device
+throughput (dispatch-inclusive rates are lower and platform-dependent —
+BENCH_r*.json records those).
 
 COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
 VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB
@@ -170,6 +180,179 @@ def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
     return out_v[:b, :k], out_i[:b, :k]
 
 
+_MERGE_CHUNK_W = 8192
+_PRUNED_MIN_W = 1024
+
+
+def _pruned_merge_kernel(k, k_pad, interpret, vals_ref, idx_ref, tau_ref,
+                         out_v_ref, out_i_ref, scr_ref, cv_ref, ci_ref):
+    """Tau-pruned sorted top-k of a VMEM-resident (block_b, W) candidate
+    block: the stage-A/B extraction of :func:`extract_block` (per-strided-
+    group maxima + classic fallback, id-value tie-breaking) shrinks the
+    candidates into a narrow (block_b, 2*128 + k_pad) scratch, then k
+    sorted argmax rounds run over the scratch instead of the full width —
+    ~4x less VPU work than ``_vmem_topk_kernel``'s k rounds over W. Exact
+    when every row has >= k candidates >= tau (rows without must pass
+    tau=-inf): a candidate of row-rank j <= k is either in its group's
+    top-GROUP_ROUNDS (stage A) or extracted by stage B before it can stop."""
+    bsz, w = vals_ref.shape
+    m = w // 128
+    tau = tau_ref[:, 0]
+    sentinel = jnp.iinfo(jnp.int32).max // 2
+    ga_w = GROUP_ROUNDS * 128
+    cw = ga_w + k_pad
+
+    scr_ref[...] = vals_ref[...]
+    cv_ref[...] = jnp.full((bsz, cw), -jnp.inf, cv_ref.dtype)
+    ci_ref[...] = jnp.full((bsz, cw), sentinel, jnp.int32)
+
+    for r in range(GROUP_ROUNDS):                    # stage A
+        cur = scr_ref[...]
+        idx = idx_ref[...]
+        gm = _fold(cur, jnp.maximum)
+        iseq = cur == _rep(gm, m, interpret)
+        gid = _fold(jnp.where(iseq, idx, sentinel), jnp.minimum)
+        cv_ref[:, r * 128:(r + 1) * 128] = gm.astype(cv_ref.dtype)
+        ci_ref[:, r * 128:(r + 1) * 128] = gid
+        scr_ref[...] = jnp.where(
+            iseq & (idx == _rep(gid, m, interpret)), -jnp.inf, cur)
+
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, cw), 1)
+
+    def cond(carry):                                 # stage B
+        i, cur_max = carry
+        return (i < k) & jnp.any(cur_max >= tau)
+
+    def body(carry):
+        # all large state re-read through refs: a closed-over (block_b, W)
+        # VALUE in a while body sends Mosaic's register allocator into
+        # minutes of compile time (see module compile-time note)
+        i, cur_max = carry
+        alive = cur_max >= tau
+        cur = scr_ref[...]
+        idx = idx_ref[...]
+        is_best = cur == cur_max[:, None]
+        best_id = jnp.min(jnp.where(is_best, idx, sentinel), axis=1)
+        sel = (out_cols == ga_w + i) & alive[:, None]
+        cv_ref[...] = jnp.where(sel, cur_max[:, None], cv_ref[...])
+        ci_ref[...] = jnp.where(sel, best_id[:, None], ci_ref[...])
+        cur = jnp.where(is_best & (idx == best_id[:, None])
+                        & alive[:, None], -jnp.inf, cur)
+        scr_ref[...] = cur
+        return i + 1, jnp.max(cur, axis=1)
+
+    jax.lax.while_loop(cond, body, (0, jnp.max(scr_ref[...], axis=1)))
+
+    # final: k sorted (value desc, id asc, dedup-by-id) rounds over the
+    # narrow candidate scratch (ci re-read per round: refs, not captures)
+    ocols = jax.lax.broadcasted_iota(jnp.int32, (bsz, k_pad), 1)
+    out_v_ref[...] = jnp.full((bsz, k_pad), -jnp.inf, out_v_ref.dtype)
+    out_i_ref[...] = jnp.full((bsz, k_pad), sentinel, jnp.int32)
+
+    def fbody(r, _):
+        cur = cv_ref[...]
+        ci = ci_ref[...]
+        cur_max = jnp.max(cur, axis=1)
+        is_best = cur == cur_max[:, None]
+        best_id = jnp.min(jnp.where(is_best, ci, sentinel), axis=1)
+        sel = ocols == r
+        out_v_ref[...] = jnp.where(sel, cur_max[:, None], out_v_ref[...])
+        out_i_ref[...] = jnp.where(sel, best_id[:, None], out_i_ref[...])
+        cv_ref[...] = jnp.where(is_best & (ci == best_id[:, None]),
+                                -jnp.inf, cur)
+        return 0
+
+    jax.lax.fori_loop(0, k, fbody, 0)
+
+
+def pruned_merge(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
+                 tau: jnp.ndarray, block_b: int = 256,
+                 interpret: bool = False):
+    """Exact sorted (values, ids) top-k per row of a (B, W) candidate
+    matrix, pruned by ``tau`` (B,) — a per-row lower bound on the k-th
+    largest candidate (rows with fewer than k finite candidates must carry
+    -inf). Same output contract and tie-breaking as :func:`vmem_topk`."""
+    b, w = vals.shape
+    assert k <= w, (k, w)
+    sentinel = jnp.iinfo(jnp.int32).max // 2
+    target = 128
+    while target < w:                                # fold tree needs 2^m
+        target *= 2
+    if target != w:
+        vals = jnp.pad(vals, ((0, 0), (0, target - w)),
+                       constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, target - w)),
+                      constant_values=sentinel)
+        w = target
+    k_pad = -(-k // 128) * 128
+    cw = GROUP_ROUNDS * 128 + k_pad
+    block_b = max(8, min(block_b, b, (1 << 21) // (w * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    tau2 = jnp.broadcast_to(jnp.reshape(tau, (b, 1)), (b, 128))
+    from jax.experimental.pallas import tpu as pltpu
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_pruned_merge_kernel, k, k_pad, interpret),
+        grid=(nb_b,),
+        in_specs=[pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, 128), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((block_b, k_pad), lambda i: (i, 0)),
+                   pl.BlockSpec((block_b, k_pad), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, k_pad), vals.dtype),
+                   jax.ShapeDtypeStruct((nb_b * block_b, k_pad), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((block_b, w), vals.dtype),
+                        pltpu.VMEM((block_b, cw), vals.dtype),
+                        pltpu.VMEM((block_b, cw), jnp.int32)],
+        interpret=interpret,
+    )(vals, idx.astype(jnp.int32), tau2)
+    return out_v[:b, :k], out_i[:b, :k]
+
+
+def merge_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
+               tau: jnp.ndarray = None, interpret: bool = False):
+    """Exact sorted per-row top-k of a candidate matrix of ANY width.
+
+    ``vmem_topk`` holds its whole (block_b, W) block in VMEM, so very wide
+    candidate sets (huge catalogs: 1M items = n_blocks * cand_w ~ 94k
+    lanes) blow the VMEM budget. This wrapper splits the width into
+    ``_MERGE_CHUNK_W`` chunks folded into the BATCH dimension (a reshape,
+    not a copy), selects top-k per chunk, and recurses on the per-chunk
+    winners — exact because a row's global top-k is the top-k of the union
+    of its chunks' top-k, and (value desc, id asc) tie-breaking composes.
+    Duplicate (value, id) candidates split across chunks are collapsed by
+    the final round's mask-by-id rule, same as within one vmem_topk.
+
+    ``tau`` (B,) routes wide levels through :func:`pruned_merge` (global
+    per-row tau stays valid inside any chunk: a global-top-k element's
+    rank within its chunk is <= k, so the chunk's stage B reaches it
+    before its stop condition can fire)."""
+    b, w = vals.shape
+    sentinel = jnp.iinfo(jnp.int32).max // 2
+
+    def level(v, i, kk, t):
+        if t is not None and v.shape[1] > _PRUNED_MIN_W:
+            return pruned_merge(v, i, kk, t, interpret=interpret)
+        return vmem_topk(v, i, kk, interpret=interpret)
+
+    while w > _MERGE_CHUNK_W:
+        nc = -(-w // _MERGE_CHUNK_W)
+        pad = nc * _MERGE_CHUNK_W - w
+        if pad:
+            vals = jnp.pad(vals, ((0, 0), (0, pad)),
+                           constant_values=-jnp.inf)
+            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=sentinel)
+        kc = min(k, _MERGE_CHUNK_W)
+        tau_c = None
+        if tau is not None:
+            tau_c = jnp.broadcast_to(jnp.reshape(tau, (b, 1)),
+                                     (b, nc)).reshape(b * nc)
+        vals, idx = level(vals.reshape(b * nc, _MERGE_CHUNK_W),
+                          idx.reshape(b * nc, _MERGE_CHUNK_W), kc, tau_c)
+        vals, idx = vals.reshape(b, nc * kc), idx.reshape(b, nc * kc)
+        w = vals.shape[1]
+    return level(vals, idx, k, tau)
+
+
 def emit_submaxes(block, out_ref):
     """Write this (masked) block's per-row STRIDED-group maxima into the
     (block_b, 128) output block: group l = block columns c with
@@ -201,25 +384,88 @@ def _submax_kernel(interpret, scores_ref, packed_ref, out_ref):
     emit_submaxes(block, out_ref)
 
 
+GROUP_ROUNDS = 2
+
+
+def _fold(h, op):
+    """Reduce (B, W) to (B, 128) strided-group values by an elementwise
+    fold of aligned halves (W must be 128 * a power of two); group l =
+    columns c with c % 128 == l."""
+    while h.shape[1] > 128:
+        half = h.shape[1] // 2
+        h = op(h[:, :half], h[:, half:])
+    return h
+
+
+def _rep(x, m, interpret):
+    """(B, 128) -> (B, 128*m): lane c reads x[:, c % 128] (tile repeat)."""
+    if m == 1:
+        return x
+    if interpret:
+        return jnp.tile(x, (1, m))
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.repeat(x, m, axis=1)
+
+
 def extract_block(block, tau, k, k_eff, offset, vals_ref, idx_ref,
-                  scratch_ref):
-    """Run the tau-pruned iterative argmax extraction on one (masked) block
-    VALUE, writing up to k_eff candidates (global ids offset by ``offset``)
-    into the output refs. Shared by the score-reading and the
-    matmul-producing (dot_topk) extraction kernels."""
+                  scratch_ref, interpret=False):
+    """Two-stage tau-pruned extraction of one (masked) block VALUE into the
+    output refs (width GROUP_ROUNDS*128 + k_eff; global ids offset by
+    ``offset``). Shared by the score-reading and the matmul-producing
+    (dot_topk) extraction kernels.
+
+    Stage A (GROUP_ROUNDS static rounds): extract the per-STRIDED-GROUP
+    maximum of all 128 groups at once — fold-max tree to (B, 128) group
+    maxima, ``pltpu.repeat`` broadcast back, fold-min tree to recover each
+    group's lowest-index argmax column, one static-slice write. Each round
+    emits up to 128 candidates where the classic argmax loop emits ONE, so
+    the loop count stops being max-over-rows of per-row survivors (~6-12
+    for a (256, 4096) eval block) and becomes max survivors per GROUP (~2).
+
+    Stage B (while loop, up to k rounds): the classic one-element-per-round
+    lowest-index argmax on whatever still exceeds tau — fires only when
+    some group held more than GROUP_ROUNDS survivors (rare for real score
+    distributions; guaranteed-correct for ties/adversarial layouts).
+
+    Exactness: stage A removes exactly the top-GROUP_ROUNDS of every group
+    (ties broken lowest-index, one element per round). An element whose
+    whole-block rank is j <= k either sits in its group's top-GROUP_ROUNDS
+    (emitted by A) or remains for stage B, where its rank among the
+    remainder is <= j <= k, so B's k-round cap emits it before stopping.
+    Groups whose max is below tau emit sub-tau garbage in stage A; tau
+    guarantees >= k candidates >= tau exist globally, so garbage can never
+    displace a true top-k element in the merge. Duplicate (value, id)
+    candidates (possible for -inf-tied rows) are collapsed by vmem_topk's
+    mask-by-id rule, exactly as for the classic loop's repeated -inf picks.
+    """
     bsz, bn = block.shape
+    m = bn // 128
+    ga_w = GROUP_ROUNDS * 128
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, bn), 1)
-    out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, k_eff), 1)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (bsz, ga_w + k_eff), 1)
+    fold = _fold
+
+    def rep(x):
+        return _rep(x, m, interpret)
 
     # all loop state lives in refs (the extraction rounds mutate the block
     # in VMEM scratch): a (B, BN) loop-carried VALUE sends Mosaic's register
     # allocator into minutes of compile time at 4 MB blocks
     scratch_ref[...] = block
-    vals_ref[...] = jnp.full((bsz, k_eff), -jnp.inf, vals_ref.dtype)
-    idx_ref[...] = jnp.full((bsz, k_eff), jnp.iinfo(jnp.int32).max // 2,
+    vals_ref[...] = jnp.full((bsz, ga_w + k_eff), -jnp.inf, vals_ref.dtype)
+    idx_ref[...] = jnp.full((bsz, ga_w + k_eff), jnp.iinfo(jnp.int32).max // 2,
                             jnp.int32)
 
-    def cond(carry):
+    for r in range(GROUP_ROUNDS):                    # stage A, static unroll
+        cur = scratch_ref[...]
+        gm = fold(cur, jnp.maximum)                  # (B, 128) group maxima
+        gidx = fold(jnp.where(cur == rep(gm), col_ids, bn), jnp.minimum)
+        vals_ref[:, r * 128:(r + 1) * 128] = gm.astype(vals_ref.dtype)
+        idx_ref[:, r * 128:(r + 1) * 128] = gidx + offset
+        # clear exactly the extracted (lowest-index) element of each group
+        scratch_ref[...] = jnp.where(col_ids == rep(gidx), -jnp.inf, cur)
+
+    def cond(carry):                                 # stage B
         i, cur_max = carry
         return (i < k) & jnp.any(cur_max >= tau)
 
@@ -230,7 +476,7 @@ def extract_block(block, tau, k, k_eff, offset, vals_ref, idx_ref,
         # lowest-index argmax of each alive row
         is_best = block == cur_max[:, None]
         best_idx = jnp.min(jnp.where(is_best, col_ids, bn), axis=1)
-        sel = (out_cols == i) & alive[:, None]
+        sel = (out_cols == ga_w + i) & alive[:, None]
         vals_ref[...] = jnp.where(sel, cur_max[:, None], vals_ref[...])
         idx_ref[...] = jnp.where(sel, best_idx[:, None] + offset, idx_ref[...])
         # mask the extracted (leftmost-tied) element; dead rows unchanged
@@ -239,7 +485,7 @@ def extract_block(block, tau, k, k_eff, offset, vals_ref, idx_ref,
         scratch_ref[...] = block
         return i + 1, jnp.max(block, axis=1)
 
-    jax.lax.while_loop(cond, body, (0, jnp.max(block, axis=1)))
+    jax.lax.while_loop(cond, body, (0, jnp.max(scratch_ref[...], axis=1)))
 
 
 def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
@@ -249,7 +495,7 @@ def _extract_kernel(k, k_eff, interpret, scores_ref, packed_ref, tau_ref,
     if packed_ref is not None:
         block = _apply_mask(block, packed_ref[...], interpret)
     extract_block(block, tau_ref[:, 0], k, k_eff, j * block.shape[1],
-                  vals_ref, idx_ref, scratch_ref)
+                  vals_ref, idx_ref, scratch_ref, interpret=interpret)
 
 
 def pack_mask(mask_table, b: int, n: int, n_blocks: int, block_n: int):
@@ -402,24 +648,26 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
                                    scratch_ref)
 
     from jax.experimental.pallas import tpu as pltpu
+    cand_w = GROUP_ROUNDS * 128 + k_eff              # candidates per block
     vals, idx = pl.pallas_call(
         kernel,
         grid=(nb_b, n_blocks),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j)),
-                   pl.BlockSpec((block_b, k_eff), lambda i, j: (i, j))),
-        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+        out_specs=(pl.BlockSpec((block_b, cand_w), lambda i, j: (i, j)),
+                   pl.BlockSpec((block_b, cand_w), lambda i, j: (i, j))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * cand_w),
                                         scores.dtype),
-                   jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * k_eff),
+                   jax.ShapeDtypeStruct((nb_b * block_b, n_blocks * cand_w),
                                         jnp.int32)),
         scratch_shapes=[pltpu.VMEM((block_b, block_n), scores.dtype)],
         interpret=interpret,
     )(*operands)
     vals, idx = vals[:b], idx[:b]
 
-    # final merge over the candidate set, again via the VMEM top-k kernel.
-    # Ties break toward the lower global index — identical to merging by
-    # candidate position (blocks are emitted left to right and extraction
-    # within a block is (value desc, index asc)), which is lax.top_k's rule.
+    # final merge over the candidate set via the (width-chunked, tau-
+    # pruned) VMEM top-k kernel. Ties break toward the lower global index
+    # — identical to merging by candidate position (blocks are emitted
+    # left to right and extraction within a block is (value desc, index
+    # asc)), which is lax.top_k's rule.
     k_out = min(k, vals.shape[1])
-    return vmem_topk(vals, idx, k_out, interpret=interpret)
+    return merge_topk(vals, idx, k_out, tau=tau[:, 0], interpret=interpret)
