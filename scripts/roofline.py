@@ -158,17 +158,30 @@ def main():
         traffic / dt, hbm_peak))
 
     # ---- 4. full-catalog masked top-k eval batch -----------------------
+    # Chained metrology (round 3): one dispatch through the axon tunnel
+    # costs ~1 ms and does NOT overlap device execution, so sub-5ms kernels
+    # must be timed by chaining R calls inside ONE jit via a scalar data
+    # dependency (through the tiny mask table, not the 160 MB scores) —
+    # see scripts/bench_topk_stream.py and BASELINE.md round-3 section.
     from skrx.ops.metrics import masked_topk_indices
 
     Bv, Nv = 256, int(1_000_000 * scale) + 4096
     scores = jnp.asarray(rs.rand(Bv, Nv).astype(np.float32))
     train_tab = jnp.asarray(rs.randint(0, Nv, (Bv, 64)).astype(np.int32))
-    f4 = jax.jit(lambda s, t: masked_topk_indices(s, t, 50))
-    dt = timeit(lambda: f4(scores, train_tab), n_rep,
-                lambda o: int(o[0, 0]))
+    R4 = 4
+
+    @jax.jit
+    def f4(s, t):
+        off = jnp.zeros((1, 1), jnp.int32)
+        for _ in range(R4):
+            idx = masked_topk_indices(s, t + off, 50)
+            off = idx[:1, :1] * 0
+        return off
+    dt = timeit(lambda: f4(scores, train_tab), max(n_rep // 4, 2),
+                lambda o: int(o[0, 0])) / R4
     traffic = Bv * Nv * 4  # one streaming read of the score matrix
     lines.append(fmt_row(
-        f"masked top-50 eval (B={Bv}, N={Nv/1e6:.1f}M)", dt,
+        f"masked top-50 eval (B={Bv}, N={Nv/1e6:.1f}M, chained)", dt,
         traffic / dt, hbm_peak))
 
     # ---- 5. BPRMF whole train step -------------------------------------
