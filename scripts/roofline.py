@@ -175,7 +175,11 @@ def main():
         off = jnp.zeros((1, 1), jnp.int32)
         for _ in range(R4):
             idx = masked_topk_indices(s, t + off, 50)
-            off = idx[:1, :1] * 0
+            # dependency must round-trip through float: XLA folds integer
+            # x*0 to a constant and then DCEs the whole chain (an int32
+            # `idx[:1,:1] * 0` here compiled to an EMPTY program — the row
+            # timed nothing); float x*0.0 is not foldable (NaN/inf rules).
+            off = (idx[:1, :1].astype(jnp.float32) * 0.0).astype(jnp.int32)
         return off
     dt = timeit(lambda: f4(scores, train_tab), max(n_rep // 4, 2),
                 lambda o: int(o[0, 0])) / R4

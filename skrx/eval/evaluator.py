@@ -344,25 +344,126 @@ class RankingEvaluator:
             "fused eval is single-device (the dot_topk kernel is not SPMD-" \
             "partitionable); use eval_mode='topk' on model-parallel meshes"
         from ..ops.pallas import dot_topk
+        from ..ops.pallas.dot_topk import pack_items
         interpret = jax.default_backend() != "tpu"
 
+        # the item factors are frozen for the whole evaluation, so transpose
+        # + pad the table ONCE here instead of inside every per-batch
+        # dot_topk call (the in-call items.T costs ~N*d*4 bytes of HBM
+        # traffic + residency per batch — ~256 MB at 1M items)
         if hasattr(model, "_chunk_embeddings"):
-            def topk_fn(batch_users, k, train_table):
-                u_all, i_all = model._chunk_embeddings()
-                bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
-                    else None
-                uv = jnp.asarray(u_all, jnp.float32)[jnp.asarray(batch_users)]
-                return dot_topk(uv, jnp.asarray(i_all, jnp.float32), bias, k,
-                                mask_table=train_table, interpret=interpret)
+            # dot factors are pure arrays -> the whole multi-batch eval can
+            # page through ONE device dispatch (scan over batches), killing
+            # the per-batch host round trip (~1 ms each on high-RTT hosts)
+            return self._evaluate_fused_paged(model, num_items, test_users,
+                                              interpret)
         else:
+            # tower contract: _topk_factors' item factors are uv-independent
+            # (the auto-router already probes them with uv=None)
+            _, i_all, bias = model._topk_factors(None)
+            packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
+            n_items = int(i_all.shape[0])
+
             def topk_fn(batch_users, k, train_table):
-                uv, i_all, bias = model._topk_factors(
+                uv, _, _ = model._topk_factors(
                     model._cached_user_vectors(batch_users))
-                return dot_topk(jnp.asarray(uv, jnp.float32),
-                                jnp.asarray(i_all, jnp.float32), bias, k,
-                                mask_table=train_table, interpret=interpret)
+                return dot_topk(jnp.asarray(uv, jnp.float32), None, None, k,
+                                mask_table=train_table, interpret=interpret,
+                                packed=packed, n=n_items)
 
         return self._evaluate_from_topk(topk_fn, num_items, test_users)
+
+    def _evaluate_fused_paged(self, model, num_items: int,
+                              test_users, interpret: bool) -> MetricReport:
+        """Fused evaluation with ALL user batches paged through one device
+        dispatch: a ``lax.scan`` over the stacked per-batch inputs runs
+        dot_topk + metrics per page and accumulates the metric sum on
+        device. One host round trip per evaluation instead of one per batch
+        — on the axon tunnel each dispatch costs ~1 ms that does not
+        overlap device work, so per-epoch eval at (20k users, bs=1024) was
+        paying ~20 ms of pure dispatch. Numerics identical to the
+        per-batch loop (same program, scanned).
+
+        The model's dot factors (u_all, items, bias) enter as ARGUMENTS of
+        one cached jitted runner, so per-epoch factor updates never
+        retrace."""
+        from ..ops.metrics import (hits_against_padded_truth,
+                                   ranking_metrics_from_hits)
+        from ..ops.pallas import dot_topk
+        from ..ops.pallas.dot_topk import pack_items
+
+        if test_users is not None:
+            test_users = [int(u) for u in test_users
+                          if int(u) in self.user_pos_test]
+        else:
+            test_users = [int(u) for u in self.user_pos_test.keys()]
+        assert len(test_users) > 0, "no test users"
+        users = np.asarray(test_users, dtype=np.int32)
+        n_users = len(users)
+        bs = self.batch_size
+        k = self.max_top
+        n_batches = -(-n_users // bs)
+        pad_total = n_batches * bs - n_users
+        if pad_total:
+            users_padded = np.concatenate(
+                [users, np.full(pad_total, users[-1], np.int32)])
+        else:
+            users_padded = users
+        train_table, test_table, test_len = self._tables_for(users_padded,
+                                                             num_items)
+        users_g = users_padded.reshape(n_batches, bs)
+        train_g = train_table.reshape(n_batches, bs, -1)
+        test_g = test_table.reshape(n_batches, bs, -1)
+        len_g = np.maximum(test_len, 1).reshape(n_batches, bs)
+        real = np.arange(n_batches * bs) < n_users
+        weight_g = (real & (test_len > 0)).astype(np.float32) \
+            .reshape(n_batches, bs)
+
+        u_all, i_all = model._chunk_embeddings()
+        bias = model._chunk_bias() if hasattr(model, "_chunk_bias") else None
+        u_all = jnp.asarray(u_all, jnp.float32)
+        packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
+        n_items = int(i_all.shape[0])
+        sentinel = num_items + 1   # never matches a test id OR the pad id
+
+        key = ("fused_paged", n_items, num_items, k, self.metrics, interpret,
+               users_g.shape, train_g.shape[2], test_g.shape[2])
+        cache = self.__dict__.setdefault("_paged_cache", {})
+        runner = cache.get(key)
+        if runner is None:
+            metrics = self.metrics
+
+            def run(u_all, items_t, bias2, users_g, train_g, test_g, len_g,
+                    weight_g):
+                def body(acc, inp):
+                    us, tr, te, ln, wt = inp
+                    vals, idx = dot_topk(u_all[us], None, None, k,
+                                         mask_table=tr, interpret=interpret,
+                                         packed=(items_t, bias2), n=n_items)
+                    idx = jnp.where(jnp.isneginf(vals), sentinel, idx)
+                    if idx.shape[1] < k:
+                        fill = jnp.full((bs, k - idx.shape[1]), sentinel,
+                                        jnp.int32)
+                        idx = jnp.concatenate([idx, fill], axis=1)
+                    hits = hits_against_padded_truth(idx, te)
+                    per_user = ranking_metrics_from_hits(hits, ln, metrics)
+                    return acc + jnp.sum(per_user * wt[:, None, None],
+                                         axis=0), None
+                acc0 = jnp.zeros((len(metrics), k), jnp.float32)
+                return jax.lax.scan(
+                    body, acc0, (users_g, train_g, test_g, len_g,
+                                 weight_g))[0]
+
+            runner = jax.jit(run)
+            cache[key] = runner
+
+        metric_sum = runner(u_all, packed[0], packed[1],
+                            jnp.asarray(users_g), jnp.asarray(train_g),
+                            jnp.asarray(test_g), jnp.asarray(len_g),
+                            jnp.asarray(weight_g))
+        final = np.asarray(metric_sum) / n_users
+        final = final[:, self.top_show - 1].reshape(-1)
+        return MetricReport(self.metrics_list, final)
 
     def _evaluate_from_topk(self, topk_fn, num_items: int,
                             test_users: Optional[Iterable[int]] = None

@@ -53,7 +53,38 @@ from jax.experimental import pallas as pl
 from .topk_blocks import (_BITS, _apply_mask, emit_submaxes, extract_block,
                           pack_mask, vmem_topk)
 
-__all__ = ["dot_topk"]
+__all__ = ["dot_topk", "pack_items"]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def pack_items(items: jnp.ndarray, bias: jnp.ndarray = None,
+               block_n: int = 4096):
+    """Pre-transpose + pad the item table for repeated ``dot_topk`` calls.
+
+    ``items.T`` inside ``dot_topk`` materializes a full transposed copy of
+    the padded table on EVERY call (~256 MB / ~2 ms at 1M items, d=64) and
+    doubles the table's HBM residency while live; callers that rank many
+    batches against one frozen table (the evaluator's per-eval loop,
+    serving) should pack once and pass ``packed=`` + ``n=`` instead.
+
+    Returns ``(items_t, bias2)``: the (d_sub, padded_n) transposed slab and
+    the (1, padded_n) bias row with pad columns at -inf. ``block_n`` must
+    match the later ``dot_topk`` calls.
+    """
+    n, d = items.shape
+    items = jnp.asarray(items, jnp.float32)
+    d_sub = -(-d // 8) * 8
+    if d_sub != d:
+        items = jnp.pad(items, ((0, 0), (0, d_sub - d)))
+    n_blocks = max(-(-n // block_n), 1)
+    padded_n = n_blocks * block_n
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    bias = jnp.asarray(bias, jnp.float32)
+    if padded_n != n:
+        items = jnp.pad(items, ((0, padded_n - n), (0, 0)))
+        bias = jnp.pad(bias, (0, padded_n - n), constant_values=-jnp.inf)
+    return items.T, bias.reshape(1, padded_n)
 
 
 def _scores_block(uv_ref, items_ref, bias_ref, packed_ref, interpret):
@@ -86,11 +117,13 @@ def _dot_extract_kernel(k, k_eff, interpret, uv_ref, items_ref, bias_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "block_b", "interpret"))
+                   static_argnames=("k", "block_n", "block_b", "interpret",
+                                    "n"))
 def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
              mask_table: jnp.ndarray = None, block_n: int = 4096,
              block_b: int = 256,
-             interpret: bool = False):
+             interpret: bool = False,
+             packed=None, n: int = None):
     """Exact (values, indices) top-k per row of ``uv @ items.T + bias``,
     with ``mask_table`` items excluded, never materializing (B, N).
 
@@ -98,14 +131,16 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
     items: (N, d) float32 item table.
     bias: (N,) float32 or None.
     mask_table: (B, L) int32 per-row exclusions (out-of-range = padding).
+    packed: optional ``pack_items(items, bias, block_n)`` result; when given,
+        ``items``/``bias`` are ignored (pass None) and the per-call table
+        transpose is skipped — use for repeated calls against one frozen
+        table. Requires ``n`` = the true (unpadded) catalog size.
 
     Same exactness/tie-break semantics and the same gating advice as
     ``blockwise_topk`` (route catalogs below ~32k items to lax.top_k).
     ``block_n`` must be 128 * a power of two (fold-tree threshold pass).
     """
     b, d = uv.shape
-    n = items.shape[0]
-    assert items.shape[1] == d
     assert d <= 512, "re-budget VMEM before using dot_topk beyond d=512"
     assert block_n % 128 == 0 and (block_n // 128) & (block_n // 128 - 1) \
         == 0, "block_n must be 128 * a power of two"
@@ -113,30 +148,44 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
         assert block_n % (_BITS * 128) == 0, \
             "masked block_n must be a multiple of 4096 on TPU"
     block_b = min(block_b, b)
-    n_blocks = max(-(-n // block_n), 1)
     nb_b = -(-b // block_b)
-    padded_n = n_blocks * block_n
+    d_sub = -(-d // 8) * 8
+
+    if packed is not None:
+        assert n is not None, "packed dot_topk needs the true catalog size n"
+        items_t, bias2 = packed
+        assert items_t.shape[0] == d_sub, \
+            "packed table dim does not match uv"
+        padded_n = items_t.shape[1]
+        n_blocks = padded_n // block_n
+        assert n_blocks * block_n == padded_n and n <= padded_n
+        if d_sub != d:
+            uv = jnp.pad(uv, ((0, 0), (0, d_sub - d)))
+    else:
+        n = items.shape[0]
+        assert items.shape[1] == d
+        n_blocks = max(-(-n // block_n), 1)
+        padded_n = n_blocks * block_n
+
+        # pad the contraction dim to a SUBLANE multiple only: the item slab
+        # is streamed transposed as (d, N), so d rides the 8-sublane f32
+        # tile and the HBM item traffic is N*d*4 bytes — an (N, d) layout
+        # would pad d to the 128-lane tile (2x the bytes at d=64). uv is
+        # lane-padded instead (a (B, d) sliver, negligible).
+        if d_sub != d:
+            uv = jnp.pad(uv, ((0, 0), (0, d_sub - d)))
+            items = jnp.pad(items, ((0, 0), (0, d_sub - d)))
+        # catalog padding: zero item rows scored to -inf THROUGH THE BIAS so
+        # pad columns can never rank (0-vector items would otherwise score 0)
+        if bias is None:
+            bias = jnp.zeros((n,), jnp.float32)
+        if padded_n != n:
+            items = jnp.pad(items, ((0, padded_n - n), (0, 0)))
+            bias = jnp.pad(bias, (0, padded_n - n), constant_values=-jnp.inf)
+        items_t = items.T                            # (d_sub, padded_n)
+        bias2 = bias.reshape(1, padded_n)
     w32 = block_n // _BITS
     n_sub = n_blocks * 128
-
-    # pad the contraction dim to a SUBLANE multiple only: the item slab is
-    # streamed transposed as (d, N), so d rides the 8-sublane f32 tile and
-    # the HBM item traffic is N*d*4 bytes — an (N, d) layout would pad d to
-    # the 128-lane tile (2x the bytes at d=64). uv is lane-padded instead
-    # (a (B, d) sliver, negligible).
-    d_sub = -(-d // 8) * 8
-    if d_sub != d:
-        uv = jnp.pad(uv, ((0, 0), (0, d_sub - d)))
-        items = jnp.pad(items, ((0, 0), (0, d_sub - d)))
-    # catalog padding: zero item rows scored to -inf THROUGH THE BIAS so pad
-    # columns can never rank (0-vector items would otherwise score 0)
-    if bias is None:
-        bias = jnp.zeros((n,), jnp.float32)
-    if padded_n != n:
-        items = jnp.pad(items, ((0, padded_n - n), (0, 0)))
-        bias = jnp.pad(bias, (0, padded_n - n), constant_values=-jnp.inf)
-    items_t = items.T                                # (d_sub, padded_n)
-    bias2 = bias.reshape(1, padded_n)
 
     packed = None
     if mask_table is not None:

@@ -62,14 +62,15 @@ class TopKRecommender:
             from .ops.pallas import dot_topk
             interpret = jax.default_backend() != "tpu"
 
-            @jax.jit
-            def fused_rank(uv, items, bias, seen_rows):
+            def fused_rank(uv, packed, n_items, seen_rows):
                 vals, idx = dot_topk(
-                    uv, items, bias, k, interpret=interpret,
-                    mask_table=seen_rows if filter_seen else None)
+                    uv, None, None, k, interpret=interpret,
+                    mask_table=seen_rows if filter_seen else None,
+                    packed=packed, n=n_items)
                 return idx, vals
 
             self._fused = fused_rank
+            self._packed_cache = None  # (id-key refs, packed table)
 
     def recommend(self, users) -> Tuple[np.ndarray, np.ndarray]:
         users_np = np.asarray(users, dtype=np.int32)
@@ -85,10 +86,22 @@ class TopKRecommender:
         seen = self._seen[users_arr]
         if self._fused is not None:
             # huge-catalog dot models: fused score+select — the (B, N)
-            # score matrix never exists (bit-identical ranking; tested)
+            # score matrix never exists (bit-identical ranking; tested).
+            # The item table is transposed+padded ONCE per (items, bias)
+            # identity, not inside every request (the in-call items.T cost
+            # ~N*d*4 bytes of traffic + residency per request).
+            from .ops.pallas.dot_topk import pack_items
             u_all, i_all = self.model._chunk_embeddings()
             bias = self.model._chunk_bias()
-            idx, vals = self._fused(u_all[users_arr], i_all, bias, seen)
+            cache = self._packed_cache
+            if cache is None or cache[0] != (id(i_all), id(bias)):
+                packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
+                # hold refs so the ids can't be reused by new arrays
+                self._packed_cache = ((id(i_all), id(bias)), packed,
+                                      (i_all, bias))
+            packed = self._packed_cache[1]
+            idx, vals = self._fused(u_all[users_arr], packed,
+                                    int(i_all.shape[0]), seen)
             return np.asarray(idx), np.asarray(vals)
         scores = jnp.asarray(self.model.predict(users_arr), jnp.float32)
         idx, vals = self._rank(scores, seen)

@@ -274,3 +274,28 @@ def test_topk_clamps_to_small_catalogs():
                                               (2,), 10))  # Recall, k=10
     # item 0 is rank 1 of 3; recall@k = 1 for all k >= 1, incl. padded ranks
     np.testing.assert_allclose(out[0, 0], np.ones(10))
+
+
+def test_eval_score_matrix_device_paged_matches_per_batch():
+    """The paged (one-dispatch, scanned) entry returns exactly the per-batch
+    results for every page."""
+    import jax.numpy as jnp
+    from skrx.ops.metrics import (eval_score_matrix_device,
+                                  eval_score_matrix_device_paged)
+
+    rng = np.random.default_rng(21)
+    g, b, n, k = 3, 8, 200, 10
+    scores = rng.standard_normal((g, b, n)).astype(np.float32)
+    train = rng.integers(0, n + 1, (g, b, 12)).astype(np.int32)
+    test = rng.integers(0, n, (g, b, 4)).astype(np.int32)
+    tlen = rng.integers(1, 5, (g, b)).astype(np.int32)
+    mids = (1, 2, 4, 5)
+    paged = np.asarray(eval_score_matrix_device_paged(
+        jnp.asarray(scores), jnp.asarray(train), jnp.asarray(test),
+        jnp.asarray(tlen), mids, k, use_pallas=False))
+    for i in range(g):
+        one = np.asarray(eval_score_matrix_device(
+            jnp.asarray(scores[i]), jnp.asarray(train[i]),
+            jnp.asarray(test[i]), jnp.asarray(tlen[i]), mids, k,
+            use_pallas=False))
+        np.testing.assert_array_equal(paged[i], one)
