@@ -2,39 +2,64 @@
 reference-architecture torch-CPU loop, plus the evaluator hot loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"eval_users_per_s", "eval_vs_xla"}.
+"eval_users_per_s", "eval_vs_xla", "phases", ...}.
 
 Train workload (BASELINE.md config #3): LightGCN d=64, batch 2048 on a
 Gowalla-scale bipartite graph (30k users x 40k items, 2M interactions -> 4M
 directed edges). Each train step runs the FULL 3-layer graph propagation
 forward + backward + Adam — the chip-bound showcase of the Pallas MXU
-scatter kernel (skrx/ops/pallas/segsum_mxu.py; the XLA segment-sum scatter it
-replaces runs at ~15 GB/s effective).
+scatter kernel (skrx/ops/pallas/segsum_mxu.py). graph_impl resolves as in
+production: 'mxu_bf16' on TPU at this edge count (bf16 edge messages, f32
+MXU accumulation — quality-neutral, tests/test_graph_bf16.py +
+DEVIATIONS.md).
 
 Eval workload (second hot loop, reference evaluator.py:163-214): fused
-masked top-k + 4 ranking metrics @<=50 over a (1024, 40960) score matrix —
-`eval_users_per_s` is the Pallas-kernel evaluator throughput and
-`eval_vs_xla` its speedup over the XLA mask+lax.top_k path on the same chip,
-so an eval-kernel regression is visible in the driver artifact.
+masked top-k + 4 ranking metrics @<=50 over (1024, 40960) score pages.
+Round 4: G pages ride ONE device dispatch (eval_score_matrix_device_paged
+— the same paging the production evaluator uses, skrx/eval/evaluator.py
+_evaluate_fused_paged), so `eval_users_per_s` is dispatch-inclusive real
+throughput, not per-batch dispatch overhead. `eval_vs_xla` compares the
+Pallas kernel against the XLA mask+lax.top_k path through the same paged
+entry on the same chip.
 
 Baseline: the reference implementation cannot be built here (its Cython
-extensions need Cython, absent from the image), so the baseline is a faithful
-torch-CPU reimplementation of the reference's exact hot loop
+extensions need Cython, absent from the image), so the baseline is a
+faithful torch-CPU reimplementation of the reference's exact hot loop
 (skrec/recommender/LightGCN.py:89-111: torch.sparse.mm K-layer propagation,
 mean layer combination, mean BPR + reg*L2/batch, Adam), measured on this
-machine's CPU. The skrx number is the jitted train step on the TPU with
-graph_impl resolved as in production ('mxu' on TPU at this edge count).
+machine's CPU — best of BASELINE_REPEATS timed repeats (host load can only
+slow a repeat, so best-of-N estimates the unloaded machine). The measured
+baseline is CACHED to bench_baseline_cpu.json keyed by a workload
+fingerprint and re-measured only on a miss: the workload is frozen, and
+round 3 showed the 42 s re-measure helped push the run past the driver's
+budget (VERDICT r3 #1).
 
-Measurement discipline (VERDICT r2 #1): the CPU baseline takes the BEST of
-``BASELINE_REPEATS`` timed repeats — host load can only make a repeat
-slower, so best-of-N estimates the unloaded machine and cannot flip the
-ratio downward under contention; the TPU numbers take the median of 3
-repeats. All device timings force materialization with float(...)/np.asarray
-(axon: block_until_ready does not sync through the tunnel).
+Robustness (VERDICT r3 #1 — the round-3 artifact was rc=124 with ZERO
+output):
+
+* A watchdog THREAD (not signal.alarm — a Python signal handler cannot
+  preempt a hung C-level device call; a thread can always print and
+  _exit) emits the JSON line with whatever phases completed plus a
+  "truncated" field when SKRX_BENCH_DEADLINE (default 150 s) expires.
+* The TPU handshake (first-compile latency through the axon tunnel is
+  volatile: measured 0.4 s in-process steady state but 46-490 s for the
+  FIRST compile of a fresh process, varying with tunnel congestion) is
+  absorbed by a warm-up thread started at t=0, overlapping data
+  generation and any baseline re-measure.
+* The JAX persistent compilation cache is NOT used: measured on this
+  platform, warm cache READS hang or take longer than cold compiles
+  (487 s warm vs 46 s cold for a trivial jit — executable
+  deserialization through the tunnel is pathological). Rejection
+  documented in BASELINE.md round-4 section.
+
+All device timings force materialization with float(...)/np.asarray (axon:
+block_until_ready does not sync through the tunnel); TPU numbers take the
+median of 3 repeats.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -42,9 +67,70 @@ import numpy as np
 USERS, ITEMS, INTERACTIONS = 30_000, 40_000, 2_000_000
 DIM, BATCH, LAYERS, LR, REG = 64, 2048, 3, 1e-3, 1e-3
 BASELINE_REPEATS = 5
+BASELINE_STEPS = 5
 EVAL_B, EVAL_N, EVAL_K = 1024, 40_960, 50
+EVAL_PAGES = 16
+DEADLINE_S = float(os.environ.get("SKRX_BENCH_DEADLINE", "150"))
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline_cpu.json")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RESULTS = {
+    "metric": "LightGCN full train step, Gowalla scale "
+              "(70k nodes, 4M edges, d=64, B=2048)"
+              " + paged masked-top-k eval (16x(1024, 40960), 4 metrics@50)",
+    "value": None,
+    "unit": "examples/s",
+    "vs_baseline": None,
+}
+PHASES = {}
+_DONE = threading.Event()
+_EMIT_LOCK = threading.Lock()
+
+
+def _emit(truncated=None):
+    with _EMIT_LOCK:
+        if RESULTS.pop("_emitted", False):
+            return
+        RESULTS["_emitted"] = True
+        out = {k: v for k, v in RESULTS.items() if k != "_emitted"}
+        if truncated:
+            out["truncated"] = truncated
+        out["phases"] = {k: round(v, 1) for k, v in PHASES.items()}
+        print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    if not _DONE.wait(DEADLINE_S):
+        _emit(truncated=f"deadline {DEADLINE_S:.0f}s hit; phases completed: "
+                        f"{sorted(PHASES)}")
+        os._exit(0)
+
+
+def _tpu_warmup():
+    """Absorb the per-process first-compile handshake (volatile through the
+    axon tunnel) while the host phases run."""
+    t0 = time.perf_counter()
+    try:
+        import jax
+        import jax.numpy as jnp
+        x = jnp.arange(931, dtype=jnp.float32)  # odd size: never pre-cached
+        float(jax.jit(lambda a: (jnp.sin(a) * 1.3 + a).sum())(x))
+    except Exception as e:  # surfaced in phases, not fatal
+        PHASES["warmup_error"] = 0.0
+        RESULTS["warmup_error"] = repr(e)
+    PHASES["tpu_warmup"] = time.perf_counter() - t0
+
+
+def _fingerprint():
+    import torch
+    return {
+        "workload": [USERS, ITEMS, INTERACTIONS, DIM, BATCH, LAYERS, LR,
+                     REG, BASELINE_REPEATS, BASELINE_STEPS],
+        "torch": torch.__version__,
+        "cpus": os.cpu_count(),
+    }
 
 
 def _graph_and_batch(seed=0):
@@ -61,7 +147,7 @@ def _graph_and_batch(seed=0):
     return adj, users, pos, neg
 
 
-def bench_reference_cpu(adj, users, pos, neg, n_steps=5):
+def bench_reference_cpu(adj, users, pos, neg, n_steps=BASELINE_STEPS):
     """Reference-architecture LightGCN train step on torch CPU."""
     import torch
     # explicit intra-op thread count: the CPU baseline swings ~2.5x when
@@ -109,9 +195,36 @@ def bench_reference_cpu(adj, users, pos, neg, n_steps=5):
     return n_steps / best
 
 
+def baseline_steps_per_s(adj, users, pos, neg):
+    """Cached CPU baseline: read bench_baseline_cpu.json on a fingerprint
+    hit; measure + write on a miss."""
+    fp = _fingerprint()
+    try:
+        with open(_BASELINE_FILE) as f:
+            rec = json.load(f)
+        if rec.get("fingerprint") == fp:
+            RESULTS["baseline_cached"] = True
+            return float(rec["steps_per_s"])
+    except (OSError, ValueError, KeyError):
+        pass
+    RESULTS["baseline_cached"] = False
+    sps = bench_reference_cpu(adj, users, pos, neg)
+    try:
+        with open(_BASELINE_FILE, "w") as f:
+            json.dump({"fingerprint": fp, "steps_per_s": sps,
+                       "note": "best-of-%d x %d-step repeats of the "
+                               "reference torch-CPU LightGCN loop"
+                               % (BASELINE_REPEATS, BASELINE_STEPS)},
+                      f, indent=1)
+    except OSError:
+        pass
+    return sps
+
+
 def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
     """skrx LightGCN train step: propagation via the production graph impl
-    ('mxu' Pallas kernel on TPU, XLA segment-sum elsewhere)."""
+    ('mxu_bf16' Pallas kernel on TPU at this scale, XLA segment-sum
+    elsewhere)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -152,8 +265,10 @@ def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
         upd, s = opt.update(grads, s, prm)
         return optax.apply_updates(prm, upd), s, loss
 
+    t0 = time.perf_counter()
     prm, s, loss = step(params, opt.init(params))
     float(loss)  # compile + materialize (axon: block_until_ready won't sync)
+    PHASES["train_compile"] = time.perf_counter() - t0
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -164,59 +279,84 @@ def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
     return n_steps / sorted(times)[1]
 
 
-def bench_eval_tpu(n_reps=20):
-    """Evaluator hot loop: fused masked top-k + metrics over one eval batch
-    (Pallas blockwise kernel) and its XLA mask+lax.top_k counterpart."""
+def bench_eval_tpu(n_reps=3):
+    """Evaluator hot loop, round-4 paged: G=EVAL_PAGES (1024, 40960) score
+    pages through ONE dispatch of eval_score_matrix_device_paged (the
+    production evaluator's paging), Pallas kernel vs the XLA
+    mask+lax.top_k path. Scores/tables are generated ON DEVICE (moving
+    3 GB of random pages through the tunnel is not part of the workload)."""
+    import jax
     import jax.numpy as jnp
 
-    from skrx.ops.metrics import eval_score_matrix_device
+    from skrx.ops.metrics import eval_score_matrix_device_paged
 
-    rs = np.random.RandomState(2)
-    scores = jnp.asarray(rs.randn(EVAL_B, EVAL_N).astype(np.float32))
-    train_tab = jnp.asarray(
-        rs.randint(0, EVAL_N, (EVAL_B, 64)).astype(np.int32))
-    test_tab = jnp.asarray(
-        rs.randint(0, EVAL_N, (EVAL_B, 16)).astype(np.int32))
-    test_len = jnp.full((EVAL_B,), 16, jnp.int32)
+    key = jax.random.PRNGKey(2)
+    ks, kt, kv = jax.random.split(key, 3)
+    gen = jax.jit(lambda: (
+        jax.random.normal(ks, (EVAL_PAGES, EVAL_B, EVAL_N), jnp.float32),
+        jax.random.randint(kt, (EVAL_PAGES, EVAL_B, 64), 0, EVAL_N,
+                           jnp.int32),
+        jax.random.randint(kv, (EVAL_PAGES, EVAL_B, 16), 0, EVAL_N,
+                           jnp.int32)))
+    scores_g, train_g, test_g = gen()
+    test_len_g = jnp.full((EVAL_PAGES, EVAL_B), 16, jnp.int32)
+    float(scores_g[0, 0, 0])
     metric_ids = (1, 2, 4, 5)
 
     def run(use_pallas):
         def call():
-            return eval_score_matrix_device(scores, train_tab, test_tab,
-                                            test_len, metric_ids, EVAL_K,
-                                            use_pallas=use_pallas)
-        float(call()[0, 0, 0])  # compile + materialize
+            return eval_score_matrix_device_paged(
+                scores_g, train_g, test_g, test_len_g, metric_ids, EVAL_K,
+                use_pallas=use_pallas)
+        t0 = time.perf_counter()
+        float(call()[0, 0, 0, 0])  # compile + materialize
+        PHASES["eval_compile_%s" % ("pallas" if use_pallas else "xla")] = \
+            time.perf_counter() - t0
         times = []
         for _ in range(3):
-            # dispatch back-to-back, materialize once: a per-rep host sync
-            # would be dominated by the axon tunnel round trip
             t0 = time.perf_counter()
             for _ in range(n_reps):
                 out = call()
-            float(out[0, 0, 0])
+            float(out[0, 0, 0, 0])
             times.append(time.perf_counter() - t0)
-        return n_reps * EVAL_B / sorted(times)[1]
+        return n_reps * EVAL_PAGES * EVAL_B / sorted(times)[1]
 
     pallas_ups = run(True)
+    RESULTS["eval_users_per_s"] = round(pallas_ups, 1)
     xla_ups = run(False)
     return pallas_ups, pallas_ups / xla_ups
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    warm = threading.Thread(target=_tpu_warmup, daemon=True)
+    warm.start()
+
+    t0 = time.perf_counter()
     adj, users, pos, neg = _graph_and_batch()
-    baseline_sps = bench_reference_cpu(adj, users, pos, neg)
+    PHASES["data"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    baseline_sps = baseline_steps_per_s(adj, users, pos, neg)
+    PHASES["cpu_baseline"] = time.perf_counter() - t0
+    RESULTS["baseline_steps_per_s"] = round(baseline_sps, 3)
+
+    warm.join()
+
+    t0 = time.perf_counter()
     tpu_sps = bench_skrx_tpu(adj, users, pos, neg)
+    PHASES["tpu_train"] = time.perf_counter() - t0
+    RESULTS["value"] = round(tpu_sps * BATCH, 1)
+    RESULTS["vs_baseline"] = round(tpu_sps / baseline_sps, 2)
+
+    t0 = time.perf_counter()
     eval_ups, eval_vs_xla = bench_eval_tpu()
-    print(json.dumps({
-        "metric": "LightGCN full train step, Gowalla scale "
-                  "(70k nodes, 4M edges, d=64, B=2048)"
-                  " + masked-top-k eval (B=1024, N=40960, 4 metrics@50)",
-        "value": round(tpu_sps * BATCH, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(tpu_sps / baseline_sps, 2),
-        "eval_users_per_s": round(eval_ups, 1),
-        "eval_vs_xla": round(eval_vs_xla, 2),
-    }))
+    PHASES["tpu_eval"] = time.perf_counter() - t0
+    RESULTS["eval_users_per_s"] = round(eval_ups, 1)
+    RESULTS["eval_vs_xla"] = round(eval_vs_xla, 2)
+
+    _DONE.set()
+    _emit()
 
 
 if __name__ == "__main__":
