@@ -70,7 +70,7 @@ BASELINE_REPEATS = 5
 BASELINE_STEPS = 5
 EVAL_B, EVAL_N, EVAL_K = 1024, 40_960, 50
 EVAL_PAGES = 16
-DEADLINE_S = float(os.environ.get("SKRX_BENCH_DEADLINE", "150"))
+DEADLINE_S = float(os.environ.get("SKRX_BENCH_DEADLINE", "165"))
 _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline_cpu.json")
 

@@ -119,9 +119,13 @@ def main():
         u_dev = jnp.asarray(users)
         seen_rows = huge._seen[u_dev]
         uv = huge.model.U[u_dev]
+        # pack once, as recommend() itself does (round 4: the per-call
+        # items.T transpose is hoisted out of the serving hot path)
+        from skrx.ops.pallas.dot_topk import pack_items
+        packed = pack_items(huge.model.I, None)
 
         def call():
-            return huge._fused(uv, huge.model.I, None, seen_rows)
+            return huge._fused(uv, packed, HUGE_ITEMS, seen_rows)
         np.asarray(call()[0])
         t0 = time.perf_counter()
         n = 20

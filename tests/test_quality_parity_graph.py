@@ -28,7 +28,8 @@ torch = pytest.importorskip("torch")
 from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import InteractionIterator, PairwiseIterator, RSDataset
-from .parity_utils import assert_parity, track_best
+from .parity_utils import (assert_parity, run_seed, seed_offset,
+                           track_best)
 
 D = 16
 
@@ -36,8 +37,8 @@ D = 16
 @pytest.fixture(autouse=True)
 def _seed_numpy():
     from skrx.utils.random import set_host_seed
-    np.random.seed(20260819)
-    set_host_seed(20260819)
+    np.random.seed(20260819 + seed_offset())
+    set_host_seed(20260819 + seed_offset())
 
 
 @pytest.fixture(scope="module")
@@ -59,7 +60,7 @@ def _evaluator(ds):
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
                      sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
-                     test_batch_size=64, seed=2021)
+                     test_batch_size=64, seed=run_seed())
 
 
 def _sym_norm_dense(ds):
@@ -256,7 +257,7 @@ class _TorchSelfCF(torch.nn.Module):
 def test_selfcf_quality_parity(dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = dataset
-    torch_best = _TorchSelfCF(ds).fit_and_best(_evaluator(ds), epochs=25)
+    torch_best = _TorchSelfCF(ds, seed=seed_offset()).fit_and_best(_evaluator(ds), epochs=25)
 
     from skrx.models.SelfCF import SelfCF
     result = SelfCF(_run(path, "SelfCF"),

@@ -29,7 +29,8 @@ torch = pytest.importorskip("torch")
 from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import InteractionIterator, PairwiseIterator, RSDataset
-from .parity_utils import assert_parity, track_best
+from .parity_utils import (assert_parity, run_seed, seed_offset,
+                           track_best)
 
 D = 16
 K = 5  # knn_k
@@ -38,8 +39,8 @@ K = 5  # knn_k
 @pytest.fixture(autouse=True)
 def _seed_numpy():
     from skrx.utils.random import set_host_seed
-    np.random.seed(20260819)
-    set_host_seed(20260819)
+    np.random.seed(20260819 + seed_offset())
+    set_host_seed(20260819 + seed_offset())
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +63,7 @@ def _evaluator(ds):
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
                      sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
-                     test_batch_size=64, seed=2021)
+                     test_batch_size=64, seed=run_seed())
 
 
 def _sym_norm_dense(ds, eps=1e-7):
@@ -324,7 +325,7 @@ class _TorchLATTICE(torch.nn.Module):
 def test_lattice_quality_parity(mm_dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = mm_dataset
-    torch_best = _TorchLATTICE(ds).fit_and_best(_evaluator(ds))
+    torch_best = _TorchLATTICE(ds, seed=seed_offset()).fit_and_best(_evaluator(ds))
 
     from skrx.models.LATTICE import LATTICE
     result = LATTICE(_run(path, "LATTICE"),
@@ -453,7 +454,7 @@ class _TorchSLMRec(torch.nn.Module):
 def test_slmrec_quality_parity(mm_dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = mm_dataset
-    torch_best = _TorchSLMRec(ds).fit_and_best(_evaluator(ds))
+    torch_best = _TorchSLMRec(ds, seed=seed_offset()).fit_and_best(_evaluator(ds))
 
     from skrx.models.SLMRec import SLMRec
     result = SLMRec(_run(path, "SLMRec"),
@@ -596,7 +597,7 @@ class _TorchMGCN(torch.nn.Module):
 def test_mgcn_quality_parity(mm_dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = mm_dataset
-    torch_best = _TorchMGCN(ds).fit_and_best(_evaluator(ds))
+    torch_best = _TorchMGCN(ds, seed=seed_offset()).fit_and_best(_evaluator(ds))
 
     from skrx.models.MGCN import MGCN
 

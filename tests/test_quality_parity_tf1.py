@@ -24,7 +24,8 @@ from skrx import RunConfig
 from skrx.eval import RankingEvaluator
 from skrx.io import RSDataset
 from skrx.utils import pad_sequences
-from .parity_utils import assert_parity, track_best
+from .parity_utils import (assert_parity, run_seed, seed_offset,
+                           track_best)
 
 D = 16
 
@@ -32,8 +33,8 @@ D = 16
 @pytest.fixture(autouse=True)
 def _seed_numpy():
     from skrx.utils.random import set_host_seed
-    np.random.seed(20260819)
-    set_host_seed(20260819)
+    np.random.seed(20260819 + seed_offset())
+    set_host_seed(20260819 + seed_offset())
 
 
 @pytest.fixture(scope="module")
@@ -55,7 +56,7 @@ def _evaluator(ds):
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
                      sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
-                     test_batch_size=64, seed=2021)
+                     test_batch_size=64, seed=run_seed())
 
 
 # --------------------------------------------------------------------------
@@ -445,7 +446,7 @@ class _TorchBERT4Rec(torch.nn.Module):
 def test_bert4rec_quality_parity(dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = dataset
-    torch_best = _TorchBERT4Rec(ds).fit_and_best(_evaluator(ds))
+    torch_best = _TorchBERT4Rec(ds, seed=seed_offset()).fit_and_best(_evaluator(ds))
 
     from skrx.models.BERT4Rec import BERT4Rec
 

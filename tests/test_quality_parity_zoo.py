@@ -30,7 +30,8 @@ from skrx.eval import RankingEvaluator
 from skrx.io import RSDataset, SequentialPairwiseIterator
 
 from .oracle import eval_score_matrix_oracle
-from .parity_utils import assert_parity, track_best
+from .parity_utils import (assert_parity, run_seed, seed_offset,
+                           track_best)
 
 D = 16
 
@@ -41,8 +42,8 @@ def _seed_numpy():
     # host generator used by iterator sampling/shuffles) so parity outcomes
     # depend on neither suite execution order nor process entropy.
     from skrx.utils.random import set_host_seed
-    np.random.seed(20260819)
-    set_host_seed(20260819)
+    np.random.seed(20260819 + seed_offset())
+    set_host_seed(20260819 + seed_offset())
 
 
 @pytest.fixture(scope="module")
@@ -64,7 +65,7 @@ def _evaluator(ds):
 def _run(path, name):
     return RunConfig(recommender=name, data_dir=path, file_column="UIRT",
                      sep="\t", metric=("NDCG", "Recall"), top_k=(10,),
-                     test_batch_size=64, seed=2021)
+                     test_batch_size=64, seed=run_seed())
 
 
 # --------------------------------------------------------------------------
@@ -277,7 +278,7 @@ class _TorchCaserRunner:
 def test_caser_quality_parity(dataset, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     path, ds = dataset
-    torch_best = _TorchCaserRunner(ds).fit_and_best(_evaluator(ds))
+    torch_best = _TorchCaserRunner(ds, seed=seed_offset()).fit_and_best(_evaluator(ds))
 
     from skrx.models.Caser import Caser
     result = Caser(_run(path, "Caser"),
