@@ -264,10 +264,10 @@ def test_selfcf_quality_parity(dataset, tmp_path, monkeypatch):
                     dict(lr=0.01, reg=0.0, embed_dim=D, n_layers=2,
                          dropout=0.5, batch_size=256, epochs=25,
                          early_stop=25)).fit()
-    # Measured over 3 seed pairs at 25 epochs the skrx/torch best-NDCG ratio
-    # is {0.79, 1.26, 0.93} (mean 0.99): parity holds on average but the
-    # BYOL + random-rate edge-dropout dynamic makes single draws noisy
-    # (sigma ~0.2), so the bar is 0.8 here.
+    # 3-seed spread (committed, BASELINE.md r4): NDCG {0.84, 1.33, 1.02}
+    # / Recall {0.77, 1.14, 1.01} — the BYOL + random-rate edge-dropout
+    # dynamic is noisy (sigma ~0.25) and the pinned draw is a LOW draw,
+    # so the bar is 0.8 here.
     assert_parity("selfcf", result, torch_best, lower=0.8)
 
 

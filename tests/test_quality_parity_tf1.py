@@ -456,6 +456,7 @@ def test_bert4rec_quality_parity(dataset, tmp_path, monkeypatch):
                            h_drop=0.1, h_size=D, att_heads=2, n_layers=1,
                            batch_size=64, epochs=30, early_stop=10,
                            verbose=3)).fit()
-    # pinned draw sits at 0.90x (round 3) — drop the lower bar off the
-    # knife edge
+    # 3-seed spread (committed, BASELINE.md r4): NDCG {0.90, 0.98, 1.02}
+    # / Recall {1.13, 0.86, 1.14} — the pinned draw is the LOW end of a
+    # parity-centred spread
     assert_parity("bert4rec", result, torch_best, lower=0.85)

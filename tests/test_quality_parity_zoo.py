@@ -285,9 +285,9 @@ def test_caser_quality_parity(dataset, tmp_path, monkeypatch):
                    dict(lr=0.01, l2_reg=1e-6, embed_size=D, seq_L=5, seq_T=3,
                         nv=2, nh=4, dropout=0.5, batch_size=256, epochs=12,
                         early_stop=12)).fit()
-    # Measured over 3 seed pairs at 20 epochs the skrx/torch best-NDCG ratio
-    # is {0.85, 1.06, 1.17} (mean 1.03): parity holds on average but a
-    # single-draw comparison has sigma ~0.15, so the bar is 0.8 here.
+    # 3-seed spread (committed, BASELINE.md r4): NDCG {0.85, 0.99, 0.86}
+    # / Recall {0.96, 1.10, 1.02} — single draws carry sigma ~0.15, so
+    # the bar is 0.8 here.
     assert_parity("caser", result, torch_best, lower=0.8)
 
 
