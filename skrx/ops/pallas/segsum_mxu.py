@@ -82,14 +82,26 @@ class MXUGraph(NamedTuple):
 
 def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                      orig_ids: np.ndarray, num_nodes: int,
-                     block_k: int = 512, window: int = 128) -> ChunkMeta:
+                     block_k: int = 512, window: int = 128,
+                     src_sorted: bool = True) -> ChunkMeta:
     """Cut dst-sorted COO edges into fixed-size single-window chunks.
 
     ``dst`` must be sorted ascending. Every output window (including empty
     ones) gets at least one chunk so each output block is written.
+
+    ``src_sorted`` re-sorts each window's edges by SOURCE row (windows stay
+    contiguous; ``ldst`` and the original edge ids ride along, so the
+    scatter result and ``edge_mask`` semantics are unchanged up to f32
+    summation order): the device gather ``x[src_pad]`` then reads
+    near-monotone row addresses instead of random ones. Measured: see
+    module header / scripts/bench_propagate.py --no-src-sort for the A/B.
     """
     num_windows = -(-num_nodes // window)
     win = dst // window
+    if src_sorted and len(src):
+        order = np.lexsort((src, win))
+        src, dst, weight = src[order], dst[order], weight[order]
+        orig_ids, win = orig_ids[order], win[order]
     counts = np.bincount(win, minlength=num_windows).astype(np.int64)
     nchunks = np.maximum(1, -(-counts // block_k))
     C = int(nchunks.sum())
@@ -125,7 +137,8 @@ def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                        num_nodes: int, block_k: Optional[int] = None,
                        window: Optional[int] = None,
                        msg_dtype=jnp.float32,
-                       num_src_nodes: Optional[int] = None) -> MXUGraph:
+                       num_src_nodes: Optional[int] = None,
+                       src_sorted: bool = True) -> MXUGraph:
     """Build fwd (A) + bwd (A^T) chunk metadata from COO edges.
 
     Edge order defines the original edge ids used by ``edge_mask``.
@@ -147,11 +160,13 @@ def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     ids = np.arange(len(src))
     f_order = np.argsort(dst, kind="stable")
     fwd = chunk_sorted_coo(src[f_order], dst[f_order], weight[f_order],
-                           ids[f_order], num_nodes, block_k, window)
+                           ids[f_order], num_nodes, block_k, window,
+                           src_sorted)
     # transpose graph: swap endpoints, sort by (new) destination = old src
     b_order = np.argsort(src, kind="stable")
     bwd = chunk_sorted_coo(dst[b_order], src[b_order], weight[b_order],
-                           ids[b_order], num_src, block_k, window)
+                           ids[b_order], num_src, block_k, window,
+                           src_sorted)
     return MXUGraph(fwd, bwd, int(num_nodes), jnp.dtype(msg_dtype))
 
 
@@ -165,7 +180,8 @@ def transpose_mxu_graph(graph: MXUGraph) -> MXUGraph:
 
 def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: Optional[int] = None,
                              window: Optional[int] = None,
-                             msg_dtype=jnp.float32) -> MXUGraph:
+                             msg_dtype=jnp.float32,
+                             src_sorted: bool = True) -> MXUGraph:
     """Lower a square scipy sparse matrix A so propagate_mxu(g, x) == A @ x.
 
     Original edge ids follow CSR (row-major) order, matching
@@ -175,7 +191,8 @@ def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: Optional[int] = None,
     coo = sp.coo_matrix(sp.csr_matrix(mat))
     assert coo.shape[0] == coo.shape[1], "adjacency must be square"
     return mxu_graph_from_coo(coo.col, coo.row, coo.data, coo.shape[0],
-                              block_k, window, msg_dtype)
+                              block_k, window, msg_dtype,
+                              src_sorted=src_sorted)
 
 
 def _segsum_kernel(block_k, window, msg_dtype, blk_ref, msgs_ref, ldst_ref,
