@@ -58,14 +58,29 @@ def row(name, t, nbytes):
           flush=True)
 
 
+
+def guarded(name, fn, nbytes):
+    """One measurement row; a transient remote-compile 500 must not kill
+    the whole script (the axon compile helper intermittently fails)."""
+    try:
+        row(name, fn(), nbytes)
+    except Exception as e:  # pragma: no cover - infra flake
+        print(f"{name:58s}    FAILED ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:80]})", flush=True)
+
+
 def make_stream_kernel(block_b, block_n, dimsem, reduce_mode):
     """Streaming kernel with a (1,1) scalar operand added to the output so
     chained calls have a data dependency (see module header)."""
     def kernel(x_ref, off_ref, o_ref):
+        # the (1, 1) dependency offset is ALWAYS f32 and the add runs in
+        # f32 (current Mosaic lowers neither a bf16 scalar vector.extract
+        # nor a bf16 both-axis (1,1) broadcast); result casts back to the
+        # stream dtype — free for f32, one VPU cast for bf16
         blk = x_ref[...]
         if reduce_mode == "max":
-            m = jnp.max(blk, axis=1, keepdims=True)
-            o_ref[...] = jnp.broadcast_to(m, o_ref.shape) + off_ref[0, 0]
+            res = jnp.broadcast_to(jnp.max(blk, axis=1, keepdims=True),
+                                   o_ref.shape)
         elif reduce_mode == "sub32":
             lanes = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 1)
             acc = jnp.full(o_ref.shape, -jnp.inf, o_ref.dtype)
@@ -74,13 +89,15 @@ def make_stream_kernel(block_b, block_n, dimsem, reduce_mode):
                 m = jnp.max(blk[:, s * sub:(s + 1) * sub], axis=1,
                             keepdims=True)
                 acc = jnp.where(lanes == s, m, acc)
-            o_ref[...] = acc + off_ref[0, 0]
+            res = acc
         elif reduce_mode == "fold":
             h = blk
             while h.shape[1] > 128:
                 half = h.shape[1] // 2
                 h = jnp.maximum(h[:, :half], h[:, half:])
-            o_ref[...] = h + off_ref[0, 0]
+            res = h
+        o_ref[...] = (res.astype(jnp.float32)
+                      + off_ref[...]).astype(o_ref.dtype)
 
     nb_b, n_blocks = -(-B // block_b), -(-N // block_n)
     params = {}
@@ -194,10 +211,10 @@ def main():
 
     @jax.jit
     def runbf(x):
-        off = jnp.zeros((1, 1), jnp.bfloat16)
+        off = jnp.zeros((1, 1), jnp.float32)
         for _ in range(R):
             out = call(x, off)
-            off = out[:1, :1] * 0
+            off = out[:1, :1].astype(jnp.float32) * 0.0
         return off
     t = timeit(lambda: runbf(sb)) / R
     row("stream bf16 b=256 n=4096 (half the bytes)", t, nbytes // 2)
@@ -232,14 +249,29 @@ def main():
     @jax.jit
     def rowmax_multi(*arrs):
         return sum(jnp.max(a, axis=1) for a in arrs)
-    t = timeit(lambda: rowmax_multi(*xs)) / R
-    row("XLA row max, R distinct arrays / dispatch", t, nbytes)
+    guarded("XLA row max, R distinct arrays / dispatch",
+            lambda: timeit(lambda: rowmax_multi(*xs)) / R, nbytes)
+
+    # read+write ceiling: a pallas copy whose full (B, N) output lands in
+    # HBM but only a (1, 1) slice crosses the tunnel (an XLA `a * c` copy
+    # can't be timed here: materializing its output moves 160 MB through
+    # the tunnel and times the transfer, not the chip)
+    def copy_call(x):
+        def kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 1.000001
+        return pl.pallas_call(
+            kernel,
+            grid=(B // 256, N // 4096),
+            in_specs=[pl.BlockSpec((256, 4096), lambda i, j: (i, j))],
+            out_specs=pl.BlockSpec((256, 4096), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        )(x)
 
     @jax.jit
     def copy_multi(*arrs):
-        return [a * 1.000001 for a in arrs]
-    t = timeit(lambda: copy_multi(*xs)[0]) / R
-    row("XLA copy (read+write), R distinct arrays", t, 2 * nbytes)
+        return sum(copy_call(a)[0, 0] for a in arrs)
+    guarded("pallas copy (read+write), R distinct arrays",
+            lambda: timeit(lambda: copy_multi(*xs)) / R, 2 * nbytes)
 
     stream_call = make_stream_kernel(256, 4096, ("parallel", "arbitrary"),
                                      "max")
@@ -248,8 +280,8 @@ def main():
     @jax.jit
     def stream_multi(*arrs):
         return sum(stream_call(a, zoff)[0, 0] for a in arrs)
-    t = timeit(lambda: stream_multi(*xs)) / R
-    row("pallas stream b=256 n=4096, R distinct arrays", t, nbytes)
+    guarded("pallas stream b=256 n=4096, R distinct arrays",
+            lambda: timeit(lambda: stream_multi(*xs)) / R, nbytes)
 
     print("\n-- XLA reference ops, back-to-back dispatch --")
     rowmax = jax.jit(lambda x: jnp.max(x, axis=1))
@@ -263,13 +295,14 @@ def main():
                              (128, 4096)):
         call = jax.jit(functools.partial(blockwise_topk, k=K,
                                          block_n=block_n, block_b=block_b))
-        t = timeit(lambda: call(scores)[0], reps=20)
-        row(f"blockwise_topk e2e b={block_b} n={block_n}", t, 2 * nbytes)
+        guarded(f"blockwise_topk e2e b={block_b} n={block_n}",
+                lambda: timeit(lambda: call(scores)[0], reps=20), 2 * nbytes)
 
     mask = jnp.asarray(rs.randint(0, N, (B, 64)).astype(np.int32))
-    t = timeit(lambda: blockwise_topk(scores, K, mask_table=mask)[0],
-               reps=20)
-    row("blockwise_topk e2e fused-mask (default blocks)", t, 2 * nbytes)
+    guarded("blockwise_topk e2e fused-mask (default blocks)",
+            lambda: timeit(lambda: blockwise_topk(scores, K,
+                                                  mask_table=mask)[0],
+                           reps=20), 2 * nbytes)
 
     # chained TRUE device time of the full masked kernel (dependency
     # threaded through the tiny mask table VIA FLOAT — integer x*0 gets
@@ -281,11 +314,13 @@ def main():
             v, i = blockwise_topk(s, K, mask_table=m + off)
             off = (i[:1, :1].astype(jnp.float32) * 0.0).astype(jnp.int32)
         return off
-    t = timeit(lambda: run_masked_chain(scores, mask)) / R
-    row("blockwise_topk fused-mask, scalar-chained", t, 2 * nbytes)
+    guarded("blockwise_topk fused-mask, scalar-chained",
+            lambda: timeit(lambda: run_masked_chain(scores, mask)) / R,
+            2 * nbytes)
 
-    t = timeit(lambda: lax.top_k(scores, K)[0], reps=20)
-    row("XLA lax.top_k", t, nbytes)
+    guarded("XLA lax.top_k",
+            lambda: timeit(lambda: lax.top_k(scores, K)[0], reps=20),
+            nbytes)
 
 
 if __name__ == "__main__":

@@ -27,20 +27,23 @@ f32 jnp.matmul, so ranking matches the materialized pipeline BIT-FOR-BIT
 (asserted on-chip in tests; an explicit bf16 operand cast was measured to
 produce identical bits — Mosaic and XLA share the matmul lowering).
 
-MEASURED (TPU v5e, k=50, d=64; scalar-chained true device time — see the
-metrology note in topk_blocks.py): (1024, 40960) masked runs in 0.91 ms vs
-1.20 ms for the blockwise kernel on ALREADY-MATERIALIZED scores (which the
-full pipeline must also produce: +160 MB matmul write) — the fused kernel
-reads 2 x 10.5 MB of transposed item table per batch tile instead of three
+MEASURED (TPU v5e, k=50, d=64; scalar-chained true device time with the
+dependency forced through FLOAT — round 4 corrected the round-3 chains,
+whose integer x*0 dependency constant-folded and inflated every number
+~2x; see topk_blocks.py and BASELINE.md round-4 correction): (1024, 40960)
+masked incl. per-batch mask packing runs in 1.82 ms vs ~2.0 ms for the
+blockwise kernel on ALREADY-MATERIALIZED scores (which the full pipeline
+must also produce: +160 MB matmul write) — the fused kernel reads
+2 x 10.5 MB of transposed item table per batch tile instead of three
 (B, N) score passes, so from round 3 the evaluator auto-routes dot models
 through it wherever the threshold-pruned selection engages (~32k+ items;
 round 2 measured the opposite with dispatch-inflated timings of 5.9 vs
 3.1 ms). The fused kernel's other value is MEMORY: (256, 1M) masked
-ranking runs in 1.18 ms chained / ~6 ms dispatch-inclusive with ~50 MB of
-HBM where `predict` would materialize a 1 GB score block (4 GB at B=1024)
-— the single-call serving/ranking primitive for huge catalogs
-(skrx/serve.py routes to it from num_items >= 131072; round 2's
-pre-fold-tree number was 15.9 ms).
+ranking runs in 3.39 ms chained (75.5k users/s) with ~50 MB of HBM where
+`predict` would materialize a 1 GB score block (4 GB at B=1024) — the
+single-call serving/ranking primitive for huge catalogs (skrx/serve.py
+routes to it from num_items >= 131072; round 2's pre-fold-tree number was
+15.9 ms).
 
 Falls back to interpret mode off-TPU (tests run it on CPU).
 """
