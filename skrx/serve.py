@@ -114,7 +114,8 @@ class TopKRecommender:
         model-specific; this covers the shared mask+rank tail."""
         from jax import export as jexport
 
-        n = int(jnp.asarray(self.model.predict([0])).shape[1])
+        n = int(jnp.asarray(
+            self.model.predict(np.zeros(1, np.int32))).shape[1])
         scores_spec = jax.ShapeDtypeStruct((batch_size, n), jnp.float32)
         seen_spec = jax.ShapeDtypeStruct((batch_size, self._seen.shape[1]),
                                          jnp.int32)
