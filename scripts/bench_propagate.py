@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--items", type=int, default=40_000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--batch", type=int, default=2048)
-    args = ap.parse_args()
+    args, _ = ap.parse_known_args()
 
     import jax
     import jax.numpy as jnp
@@ -46,10 +46,13 @@ def main():
     print(f"graph: {N} nodes, {adj.nnz} edges, D={D}")
 
     x = jnp.asarray(rs.rand(N, D).astype(np.float32))
+    ss = "--no-src-sort" not in sys.argv
     graphs = [("segment", graph_from_sp_matrix(adj)),
-              ("mxu", mxu_graph_from_sp_matrix(adj)),
+              ("mxu", mxu_graph_from_sp_matrix(adj, src_sorted=ss)),
               ("mxu_bf16", mxu_graph_from_sp_matrix(adj,
-                                                    msg_dtype=jnp.bfloat16))]
+                                                    msg_dtype=jnp.bfloat16,
+                                                    src_sorted=ss))]
+    print(f"src_sorted={ss}")
 
     def timeit(fn, *a, n=10):
         out = fn(*a)

@@ -83,7 +83,7 @@ class MXUGraph(NamedTuple):
 def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                      orig_ids: np.ndarray, num_nodes: int,
                      block_k: int = 512, window: int = 128,
-                     src_sorted: bool = True) -> ChunkMeta:
+                     src_sorted: bool = False) -> ChunkMeta:
     """Cut dst-sorted COO edges into fixed-size single-window chunks.
 
     ``dst`` must be sorted ascending. Every output window (including empty
@@ -92,9 +92,14 @@ def chunk_sorted_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     ``src_sorted`` re-sorts each window's edges by SOURCE row (windows stay
     contiguous; ``ldst`` and the original edge ids ride along, so the
     scatter result and ``edge_mask`` semantics are unchanged up to f32
-    summation order): the device gather ``x[src_pad]`` then reads
-    near-monotone row addresses instead of random ones. Measured: see
-    module header / scripts/bench_propagate.py --no-src-sort for the A/B.
+    summation order), making the device gather ``x[src_pad]`` read
+    near-monotone row addresses. MEASURED AND REJECTED as the default
+    (round 4, scripts/bench_propagate.py --no-src-sort A/B on TPU v5e,
+    4M edges D=64): 24.9 vs 24.6 ms per propagate, 112.8 vs 112.3 ms per
+    LightGCN step — index order does not move the gather (it is
+    latency-bound, consistent with the round-2 hi/lo rejection), so the
+    default skips the one-time host lexsort. The option remains for
+    future chips where gather coalescing matters.
     """
     num_windows = -(-num_nodes // window)
     win = dst // window
@@ -138,7 +143,7 @@ def mxu_graph_from_coo(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                        window: Optional[int] = None,
                        msg_dtype=jnp.float32,
                        num_src_nodes: Optional[int] = None,
-                       src_sorted: bool = True) -> MXUGraph:
+                       src_sorted: bool = False) -> MXUGraph:
     """Build fwd (A) + bwd (A^T) chunk metadata from COO edges.
 
     Edge order defines the original edge ids used by ``edge_mask``.
@@ -181,7 +186,7 @@ def transpose_mxu_graph(graph: MXUGraph) -> MXUGraph:
 def mxu_graph_from_sp_matrix(mat: sp.spmatrix, block_k: Optional[int] = None,
                              window: Optional[int] = None,
                              msg_dtype=jnp.float32,
-                             src_sorted: bool = True) -> MXUGraph:
+                             src_sorted: bool = False) -> MXUGraph:
     """Lower a square scipy sparse matrix A so propagate_mxu(g, x) == A @ x.
 
     Original edge ids follow CSR (row-major) order, matching
