@@ -85,7 +85,12 @@ RESULTS = {
     "vs_baseline": None,
 }
 PHASES = {}
+_START = time.perf_counter()
 _DONE = threading.Event()
+
+
+def _remaining():
+    return DEADLINE_S - (time.perf_counter() - _START)
 _EMIT_LOCK = threading.Lock()
 
 
@@ -269,14 +274,18 @@ def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
     prm, s, loss = step(params, opt.init(params))
     float(loss)  # compile + materialize (axon: block_until_ready won't sync)
     PHASES["train_compile"] = time.perf_counter() - t0
+    # deadline-aware repeats: under a degraded tunnel the warm-up/compile
+    # can eat most of the budget — 1 timing rep still yields a valid
+    # median-free number, and leaves room for the eval phase
+    reps = 3 if _remaining() > 60 else 1
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             prm, s, loss = step(prm, s)
         float(loss)
         times.append(time.perf_counter() - t0)
-    return n_steps / sorted(times)[1]
+    return n_steps / sorted(times)[len(times) // 2]
 
 
 def bench_eval_tpu(n_reps=3):
@@ -313,7 +322,7 @@ def bench_eval_tpu(n_reps=3):
         PHASES["eval_compile_%s" % ("pallas" if use_pallas else "xla")] = \
             time.perf_counter() - t0
         times = []
-        for _ in range(3):
+        for _ in range(3 if _remaining() > 45 else 1):
             t0 = time.perf_counter()
             for _ in range(n_reps):
                 out = call()
@@ -323,6 +332,8 @@ def bench_eval_tpu(n_reps=3):
 
     pallas_ups = run(True)
     RESULTS["eval_users_per_s"] = round(pallas_ups, 1)
+    if _remaining() < 30:   # not enough budget for the XLA comparison
+        return pallas_ups, None
     xla_ups = run(False)
     return pallas_ups, pallas_ups / xla_ups
 
@@ -353,7 +364,8 @@ def main():
     eval_ups, eval_vs_xla = bench_eval_tpu()
     PHASES["tpu_eval"] = time.perf_counter() - t0
     RESULTS["eval_users_per_s"] = round(eval_ups, 1)
-    RESULTS["eval_vs_xla"] = round(eval_vs_xla, 2)
+    if eval_vs_xla is not None:
+        RESULTS["eval_vs_xla"] = round(eval_vs_xla, 2)
 
     _DONE.set()
     _emit()
