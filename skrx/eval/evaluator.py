@@ -343,49 +343,30 @@ class RankingEvaluator:
         assert not self._model_parallel(), \
             "fused eval is single-device (the dot_topk kernel is not SPMD-" \
             "partitionable); use eval_mode='topk' on model-parallel meshes"
-        from ..ops.pallas import dot_topk
-        from ..ops.pallas.dot_topk import pack_items
         interpret = jax.default_backend() != "tpu"
-
-        # the item factors are frozen for the whole evaluation, so transpose
-        # + pad the table ONCE here instead of inside every per-batch
-        # dot_topk call (the in-call items.T costs ~N*d*4 bytes of HBM
-        # traffic + residency per batch — ~256 MB at 1M items)
-        if hasattr(model, "_chunk_embeddings"):
-            # dot factors are pure arrays -> the whole multi-batch eval can
-            # page through ONE device dispatch (scan over batches), killing
-            # the per-batch host round trip (~1 ms each on high-RTT hosts)
-            return self._evaluate_fused_paged(model, num_items, test_users,
-                                              interpret)
-        else:
-            # tower contract: _topk_factors' item factors are uv-independent
-            # (the auto-router already probes them with uv=None)
-            _, i_all, bias = model._topk_factors(None)
-            packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
-            n_items = int(i_all.shape[0])
-
-            def topk_fn(batch_users, k, train_table):
-                uv, _, _ = model._topk_factors(
-                    model._cached_user_vectors(batch_users))
-                return dot_topk(jnp.asarray(uv, jnp.float32), None, None, k,
-                                mask_table=train_table, interpret=interpret,
-                                packed=packed, n=n_items)
-
-        return self._evaluate_from_topk(topk_fn, num_items, test_users)
+        return self._evaluate_fused_paged(model, num_items, test_users,
+                                          interpret)
 
     def _evaluate_fused_paged(self, model, num_items: int,
                               test_users, interpret: bool) -> MetricReport:
-        """Fused evaluation with ALL user batches paged through one device
-        dispatch: a ``lax.scan`` over the stacked per-batch inputs runs
-        dot_topk + metrics per page and accumulates the metric sum on
-        device. One host round trip per evaluation instead of one per batch
-        — on the axon tunnel each dispatch costs ~1 ms that does not
-        overlap device work, so per-epoch eval at (20k users, bs=1024) was
-        paying ~20 ms of pure dispatch. Numerics identical to the
-        per-batch loop (same program, scanned).
+        """Fused evaluation with the dot_topk + metrics of ALL user batches
+        paged through one device dispatch: a ``lax.scan`` over the stacked
+        per-batch inputs runs the fused score+select and the metric
+        prefix-sums per page and accumulates the metric sum on device. One
+        host round trip for the ranking work instead of one per batch — on
+        the axon tunnel each dispatch costs ~1 ms that does not overlap
+        device work, so per-epoch eval at (20k users, bs=1024) was paying
+        ~20 ms of pure dispatch.
 
-        The model's dot factors (u_all, items, bias) enter as ARGUMENTS of
-        one cached jitted runner, so per-epoch factor updates never
+        Covers BOTH fused families (round 4): ChunkedDotPredict models
+        stack per-page user vectors with one device gather; towers
+        (CachedUserVecChunkMixin) run their encoder per batch (model code,
+        inherently one dispatch each) and only the stacked uv factors enter
+        the paged scan. The item table is transposed + padded ONCE
+        (pack_items) — the in-call items.T would cost ~N*d*4 bytes per
+        batch. Numerics identical to the per-batch loop (same program,
+        scanned; tested against evaluate()). The factors enter as ARGUMENTS
+        of one cached jitted runner, so per-epoch factor updates never
         retrace."""
         from ..ops.metrics import (hits_against_padded_truth,
                                    ranking_metrics_from_hits)
@@ -419,25 +400,40 @@ class RankingEvaluator:
         weight_g = (real & (test_len > 0)).astype(np.float32) \
             .reshape(n_batches, bs)
 
-        u_all, i_all = model._chunk_embeddings()
-        bias = model._chunk_bias() if hasattr(model, "_chunk_bias") else None
-        u_all = jnp.asarray(u_all, jnp.float32)
+        if hasattr(model, "_chunk_embeddings"):
+            u_all, i_all = model._chunk_embeddings()
+            bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
+                else None
+            # one device gather stacks every page's user vectors
+            uv_g = jnp.asarray(u_all, jnp.float32)[
+                jnp.asarray(users_padded)].reshape(n_batches, bs, -1)
+        else:
+            # tower family: item factors are uv-independent (probed with
+            # uv=None); the per-batch encoder is model code and stays a
+            # dispatch per batch — only its outputs enter the paged scan
+            _, i_all, bias = model._topk_factors(None)
+            uvs = []
+            for g in range(n_batches):
+                uv2, _, _ = model._topk_factors(
+                    model._cached_user_vectors(users_g[g]))
+                uvs.append(jnp.asarray(uv2, jnp.float32))
+            uv_g = jnp.stack(uvs)
         packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
         n_items = int(i_all.shape[0])
         sentinel = num_items + 1   # never matches a test id OR the pad id
 
         key = ("fused_paged", n_items, num_items, k, self.metrics, interpret,
-               users_g.shape, train_g.shape[2], test_g.shape[2])
+               uv_g.shape, train_g.shape[2], test_g.shape[2])
         cache = self.__dict__.setdefault("_paged_cache", {})
         runner = cache.get(key)
         if runner is None:
             metrics = self.metrics
 
-            def run(u_all, items_t, bias2, users_g, train_g, test_g, len_g,
+            def run(uv_g, items_t, bias2, train_g, test_g, len_g,
                     weight_g):
                 def body(acc, inp):
-                    us, tr, te, ln, wt = inp
-                    vals, idx = dot_topk(u_all[us], None, None, k,
+                    uv, tr, te, ln, wt = inp
+                    vals, idx = dot_topk(uv, None, None, k,
                                          mask_table=tr, interpret=interpret,
                                          packed=(items_t, bias2), n=n_items)
                     idx = jnp.where(jnp.isneginf(vals), sentinel, idx)
@@ -451,14 +447,14 @@ class RankingEvaluator:
                                          axis=0), None
                 acc0 = jnp.zeros((len(metrics), k), jnp.float32)
                 return jax.lax.scan(
-                    body, acc0, (users_g, train_g, test_g, len_g,
+                    body, acc0, (uv_g, train_g, test_g, len_g,
                                  weight_g))[0]
 
             runner = jax.jit(run)
             cache[key] = runner
 
-        metric_sum = runner(u_all, packed[0], packed[1],
-                            jnp.asarray(users_g), jnp.asarray(train_g),
+        metric_sum = runner(uv_g, packed[0], packed[1],
+                            jnp.asarray(train_g),
                             jnp.asarray(test_g), jnp.asarray(len_g),
                             jnp.asarray(weight_g))
         final = np.asarray(metric_sum) / n_users
