@@ -28,6 +28,7 @@ from ..ops.sampling import sample_negatives
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import CachedUserVecChunkMixin
 from .pipeline import UserVecEpochPipeline
 
 __all__ = ["CDAE", "CDAEConfig"]
@@ -58,7 +59,7 @@ class CDAEConfig(ModelConfig):
         assert isinstance(self.early_stop, int)
 
 
-class CDAE(JaxRecommender):
+class CDAE(CachedUserVecChunkMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = CDAEConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -151,6 +152,16 @@ class CDAE(JaxRecommender):
 
         self._predict_fn = predict_fn
 
+        # tower contract (CachedUserVecChunkMixin): the decoder is a plain
+        # dot over de_emb, so CDAE joins the fused/paged + tensor-parallel
+        # evaluation families (round 4) — predict == uv @ de_emb.T + bias
+        @jax.jit
+        def uv_fn(p, rows, users):
+            return act(rows @ p["en_emb"] + p["en_offset"][None, :]
+                       + p["user_emb"][users])
+
+        self._uv_fn = uv_fn
+
     def _train_epoch(self, epoch: int) -> float:
         key = jax.random.fold_in(self._rng, epoch)
         (self.params, self.opt_state), loss = self.pipeline.run_epoch(
@@ -161,3 +172,16 @@ class CDAE(JaxRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         rows = self.pipeline.rows_for(users)
         return self._predict_fn(self.params, rows, users)
+
+    def _user_vectors(self, users):
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        rows = self.pipeline.rows_for(users)
+        return self._uv_fn(self.params, rows, users)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        p = self.params
+        return uv @ p["de_emb"][item_lo:item_hi].T \
+            + p["de_bias"][None, item_lo:item_hi]
+
+    def _topk_factors(self, uv):
+        return uv, self.params["de_emb"], self.params["de_bias"]

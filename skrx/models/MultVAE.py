@@ -23,6 +23,7 @@ from ..ops import get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import CachedUserVecChunkMixin
 from .pipeline import UserVecEpochPipeline
 
 __all__ = ["MultVAE", "MultVAEConfig"]
@@ -70,7 +71,7 @@ def _init_mlp(key, dims, init):
     return layers
 
 
-class MultVAE(JaxRecommender):
+class MultVAE(CachedUserVecChunkMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = MultVAEConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -169,6 +170,26 @@ class MultVAE(JaxRecommender):
 
         self._predict_fn = predict_fn
 
+        # tower contract (CachedUserVecChunkMixin): the decoder's FINAL
+        # layer is a plain dot, so MultVAE joins the fused/paged +
+        # tensor-parallel evaluation families (round 4): uv = the decoder
+        # hidden state after all-but-last layers; predict ==
+        # uv @ w_last + b_last. Under compute_dtype=bfloat16 the factors
+        # are the bf16-rounded operands accumulated in f32 — scores can
+        # differ from predict's bf16-output matmul at rounding level (the
+        # f32 default is exact).
+        @jax.jit
+        def uv_fn(p, rows):
+            mu, _ = encode(p, rows, jax.random.key(0), training=False)
+            h = mu.astype(cdt)
+            for layer in p["p"][:-1]:
+                h = jnp.tanh(h @ layer["w"].astype(cdt)
+                             + layer["b"].astype(cdt))
+            return h.astype(jnp.float32)
+
+        self._uv_fn = uv_fn
+        self._cdt = cdt
+
     def _train_state(self):
         state = super()._train_state()
         state["update_count"] = self._update_count  # KL anneal progress
@@ -190,3 +211,20 @@ class MultVAE(JaxRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         rows = self.pipeline.rows_for(users)
         return self._predict_fn(self.params, rows)
+
+    def _user_vectors(self, users):
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        rows = self.pipeline.rows_for(users)
+        return self._uv_fn(self.params, rows)
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        last = self.params["p"][-1]
+        w = last["w"].astype(self._cdt).astype(jnp.float32)
+        b = last["b"].astype(self._cdt).astype(jnp.float32)
+        return uv @ w[:, item_lo:item_hi] + b[None, item_lo:item_hi]
+
+    def _topk_factors(self, uv):
+        last = self.params["p"][-1]
+        w = last["w"].astype(self._cdt).astype(jnp.float32)
+        b = last["b"].astype(self._cdt).astype(jnp.float32)
+        return uv, w.T, b

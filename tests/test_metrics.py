@@ -157,6 +157,11 @@ def test_chunked_evaluation_matches_full():
                       att_heads=1, batch_size=32)),
     ("SGAT", dict(lr=0.01, embed_size=8, n_layers=2, n_seqs=3, n_next=1,
                   batch_size=128)),
+    # round 4: the autoencoder family joins the tower contract (their
+    # decoder final layer is a plain dot)
+    ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=8, dropout=0.2, num_neg=2,
+                  batch_size=32)),
+    ("MultVAE", dict(lr=0.01, p_dims=[8, 16], batch_size=32)),
 ])
 def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
     """evaluate_chunked == evaluate across model families."""

@@ -248,6 +248,10 @@ def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
     ("HGN", dict(lr=0.01, seq_L=4, seq_T=2, embed_size=8, batch_size=128)),
     ("SGAT", dict(lr=0.01, embed_size=8, n_layers=2, n_seqs=3, n_next=1,
                   batch_size=128)),
+    # round 4: the autoencoder family joined the tower contract
+    ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=8, dropout=0.2, num_neg=2,
+                  batch_size=32)),
+    ("MultVAE", dict(lr=0.01, p_dims=[8, 16], batch_size=32)),
 ])
 def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
                                     monkeypatch):
@@ -271,6 +275,36 @@ def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
     routed = m.evaluator.evaluate(m)  # model axis > 1 -> topk route
     for k in full.metrics():
         np.testing.assert_allclose(routed[k], full[k], rtol=1e-5, atol=1e-7)
+
+
+def test_ae_fused_eval_matches_full(data_dir, tmp_path, monkeypatch):
+    """Fused (dot_topk, paged) evaluation covers the autoencoder family
+    (round 4): CDAE and MultVAE expose their decoder dot factors."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.CDAE import CDAE
+    from skrx.models.MultVAE import MultVAE
+
+    run = _run_config(data_dir)
+    run.recommender = "CDAE"
+    c = CDAE(run, dict(lr=0.01, reg=0.001, hidden_dim=8, dropout=0.2,
+                       num_neg=2, batch_size=32, epochs=1, early_stop=1))
+    c.fit()
+    full_c = c.evaluator._evaluate_full(c)
+    fused_c = c.evaluator.evaluate_fused(c, num_items=c.num_items)
+    for k in full_c.metrics():
+        np.testing.assert_allclose(fused_c[k], full_c[k], rtol=1e-5,
+                                   atol=1e-7)
+
+    run2 = _run_config(data_dir)
+    run2.recommender = "MultVAE"
+    v = MultVAE(run2, dict(lr=0.01, p_dims=[8, 16], batch_size=32, epochs=1,
+                           early_stop=1))
+    v.fit()
+    full_v = v.evaluator._evaluate_full(v)
+    fused_v = v.evaluator.evaluate_fused(v, num_items=v.num_items)
+    for k in full_v.metrics():
+        np.testing.assert_allclose(fused_v[k], full_v[k], rtol=1e-5,
+                                   atol=1e-7)
 
 
 def test_tower_fused_eval_matches_full(data_dir, tmp_path, monkeypatch):
