@@ -335,11 +335,13 @@ class RankingEvaluator:
         materialized pipeline (same tau bound, same lowest-index tie-break),
         so metrics equal :meth:`evaluate` (tested). Single-device only (the
         kernel is not SPMD-partitionable)."""
-        dot_tower = (hasattr(model, "_topk_factors")
-                     and getattr(model, "_topk_score_fn", None) is None)
-        assert hasattr(model, "_chunk_embeddings") or dot_tower, \
-            "fused eval needs the model's dot factors (_chunk_embeddings " \
-            "or _topk_factors without a custom score_fn)"
+        no_custom_score = getattr(model, "_topk_score_fn", None) is None
+        dot_tower = hasattr(model, "_topk_factors") and no_custom_score
+        assert ((hasattr(model, "_chunk_embeddings") and no_custom_score)
+                or dot_tower), \
+            "fused eval needs the model's PLAIN dot factors " \
+            "(_chunk_embeddings or _topk_factors, without a custom " \
+            "score_fn — dot_topk has no activation hook)"
         assert not self._model_parallel(), \
             "fused eval is single-device (the dot_topk kernel is not SPMD-" \
             "partitionable); use eval_mode='topk' on model-parallel meshes"
@@ -536,13 +538,14 @@ class RankingEvaluator:
         # (B, N) score passes — and at huge catalogs it also replaces the
         # chunk dispatch loop. Gate exactly like ops.metrics._use_blockwise
         # so small catalogs keep the plain lax.top_k path.
-        dot_tower = (hasattr(model, "_topk_factors")
-                     and getattr(model, "_topk_score_fn", None) is None)
+        no_custom_score = getattr(model, "_topk_score_fn", None) is None
+        dot_tower = hasattr(model, "_topk_factors") and no_custom_score
         from ..ops.metrics import _use_blockwise
         fused_sized = (num_items is not None
                        and _use_blockwise(num_items, self.max_top))
         fused_ok = (fused_sized
-                    and (hasattr(model, "_chunk_embeddings") or dot_tower)
+                    and ((hasattr(model, "_chunk_embeddings")
+                          and no_custom_score) or dot_tower)
                     and self.mesh is None
                     and jax.default_backend() == "tpu")
         if fused_ok and mode == "auto":

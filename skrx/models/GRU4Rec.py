@@ -31,6 +31,7 @@ from ..ops.rnn import gru_init, stacked_gru_step
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import ChunkedDotPredictMixin
 
 __all__ = ["GRU4Rec", "GRU4RecConfig"]
 
@@ -102,7 +103,7 @@ def build_walker_schedule(items: np.ndarray, offsets: np.ndarray,
             np.stack(reset_list))
 
 
-class GRU4Rec(JaxRecommender):
+class GRU4Rec(ChunkedDotPredictMixin, JaxRecommender):
     # Subclasses (GRU4RecPlus) override these hooks.
     _extra_init_keys = 0
 
@@ -130,6 +131,15 @@ class GRU4Rec(JaxRecommender):
             self._final_act = jax.nn.relu
         else:
             self._final_act = lambda x: jnp.where(x > 0, x, 0.2 * x)
+        if cfg.final_act == "linear":
+            self._topk_score_fn = None
+        else:
+            fact = self._final_act
+
+            def _score(uv, items, bias):   # stable per-model callable
+                return fact(uv @ items.T + bias[None, :])
+
+            self._topk_score_fn = _score
 
         key = jax.random.key(run_config.seed)
         keys = jax.random.split(key, 3 + len(cfg.layers))
@@ -312,3 +322,33 @@ class GRU4Rec(JaxRecommender):
         ratings = (self._cur_user_emb[users] @ self.params["item_emb"].T
                    + self.params["item_bias"][None, :])
         return self._final_act(ratings)
+
+    # -- dot-factor eval contract (round 4): the session predict is
+    # hidden-state @ item_emb.T + bias, so GRU4Rec± joins the chunked /
+    # fused / tensor-parallel evaluation families. With the default
+    # final_act="linear" the plain dot is exact everywhere; non-linear
+    # activations set a custom ``_topk_score_fn`` (applied inside each
+    # catalog shard, elementwise -> exact TP/chunked ranking incl. relu's
+    # clamped ties, which the global-id tie-break resolves like lax.top_k)
+    # and thereby opt OUT of the fused dot_topk route, which has no
+    # activation hook.
+
+    def _user_states(self):
+        if self._cur_user_emb is None:  # serving / resumed / post-epoch
+            self._cur_user_emb = self._user_emb_fn(self.params,
+                                                   self._pred_seq,
+                                                   self._pred_mask)
+        return self._cur_user_emb
+
+    def _chunk_embeddings(self):
+        return self._user_states(), self.params["item_emb"]
+
+    def _chunk_bias(self):
+        return self.params["item_bias"]
+
+    def predict_chunk(self, users, item_lo: int, item_hi: int):
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        s = (self._user_states()[users]
+             @ self.params["item_emb"][item_lo:item_hi].T
+             + self.params["item_bias"][None, item_lo:item_hi])
+        return self._final_act(s)

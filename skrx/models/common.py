@@ -188,7 +188,8 @@ class ChunkedDotPredictMixin:
             train_table = jnp.full((users.shape[0], 1), n_items, jnp.int32)
         return sharded_dot_topk(
             self.mesh, uv, i_all, bias, k, n_items, train_table,
-            self.__dict__.setdefault("_topk_fns", {}))
+            self.__dict__.setdefault("_topk_fns", {}),
+            score_fn=getattr(self, "_topk_score_fn", None))
 
 
 class CachedUserVecChunkMixin:

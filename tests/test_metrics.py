@@ -162,6 +162,10 @@ def test_chunked_evaluation_matches_full():
     ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=8, dropout=0.2, num_neg=2,
                   batch_size=32)),
     ("MultVAE", dict(lr=0.01, p_dims=[8, 16], batch_size=32)),
+    # round 4: session RNNs join too; leaky_relu exercises the per-chunk
+    # elementwise final activation (exact for any act)
+    ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32,
+                     final_act="leaky_relu")),
 ])
 def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
     """evaluate_chunked == evaluate across model families."""

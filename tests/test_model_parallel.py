@@ -252,6 +252,12 @@ def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
     ("CDAE", dict(lr=0.01, reg=0.001, hidden_dim=8, dropout=0.2, num_neg=2,
                   batch_size=32)),
     ("MultVAE", dict(lr=0.01, p_dims=[8, 16], batch_size=32)),
+    # round 4: session RNN — linear act takes the plain dot; relu routes a
+    # custom _topk_score_fn through the shards (clamped ties must still
+    # break like lax.top_k via the global-id rule)
+    ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32)),
+    ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32,
+                     final_act="relu")),
 ])
 def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
                                     monkeypatch):
