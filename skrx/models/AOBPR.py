@@ -33,6 +33,7 @@ import numpy as np
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import ChunkedDotPredictMixin
 from .pipeline import pad_to_batches
 
 __all__ = ["AOBPR", "AOBPRConfig"]
@@ -55,7 +56,7 @@ class AOBPRConfig(ModelConfig):
         assert isinstance(self.batch_size, int) and self.batch_size > 0
 
 
-class AOBPR(JaxRecommender):
+class AOBPR(ChunkedDotPredictMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = AOBPRConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -165,3 +166,7 @@ class AOBPR(JaxRecommender):
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
+
+    def _chunk_embeddings(self):
+        # plain MF dot -> chunked/fused/TP eval families (round 4)
+        return self.params["user_emb"], self.params["item_emb"]

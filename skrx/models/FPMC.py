@@ -19,7 +19,7 @@ import optax
 from ..ops import bpr_loss, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import ChunkedDotPredictMixin, EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["FPMC", "FPMCConfig"]
@@ -47,7 +47,7 @@ class FPMCConfig(ModelConfig):
         assert isinstance(self.early_stop, int)
 
 
-class FPMC(EpochTrainedRecommender):
+class FPMC(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = FPMCConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -123,6 +123,14 @@ class FPMC(EpochTrainedRecommender):
             return ui @ p["IU"].T + last @ p["IL"].T
 
         self._predict_fn = predict_fn
+
+    def _chunk_embeddings(self):
+        # score = <UI_u, IU_i> + <LI_last(u), IL_i> == one concatenated dot
+        # (round 4): uv = [UI_u | LI_last(u)], table = [IU | IL]
+        p = self.params
+        u_all = jnp.concatenate([p["UI"], p["LI"][self._last_items]], axis=1)
+        i_all = jnp.concatenate([p["IU"], p["IL"]], axis=1)
+        return u_all, i_all
 
     def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))

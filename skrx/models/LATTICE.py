@@ -28,7 +28,8 @@ from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig, normalize_adj_matrix
-from .common import build_prop_graph, EpochTrainedRecommender
+from .common import (build_prop_graph, ChunkedDotPredictMixin,
+                     EpochTrainedRecommender)
 from .pipeline import PairwiseEpochPipeline
 
 import scipy.sparse as sp
@@ -88,7 +89,7 @@ def _norm_laplacian_dense(adj):
     return adj * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
 
 
-class LATTICE(EpochTrainedRecommender):
+class LATTICE(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = LATTICEConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -284,3 +285,10 @@ class LATTICE(EpochTrainedRecommender):
         u_all, i_all = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return u_all[users] @ i_all.T
+
+    def _chunk_embeddings(self):
+        # plain dot over the propagated embeddings (round 4)
+        if self._final is None:
+            adj = self._build_item_adj(self.params)
+            self._final = self._forward(self.params, adj, None)
+        return self._final

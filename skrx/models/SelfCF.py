@@ -23,7 +23,8 @@ from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import build_prop_graph, EpochTrainedRecommender, make_train_step
+from .common import (build_prop_graph, ChunkedDotPredictMixin,
+                     EpochTrainedRecommender, make_train_step)
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["SelfCF", "SelfCFConfig"]
@@ -68,7 +69,7 @@ def _norm_adj_eps(pairs: np.ndarray, num_users: int, num_items: int) -> sp.csr_m
     return (d_inv @ adj @ d_inv).tocsr()
 
 
-class SelfCF(EpochTrainedRecommender):
+class SelfCF(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = SelfCFConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -184,3 +185,12 @@ class SelfCF(EpochTrainedRecommender):
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         # u_online·i_target + u_target·i_online (SelfCF.py:235-241)
         return u_pred[users] @ i_on.T + u_on[users] @ i_pred.T
+
+    def _chunk_embeddings(self):
+        # the two-dot predict is one concatenated dot (round 4):
+        # uv = [u_pred | u_on], table = [i_on | i_pred]
+        if getattr(self, "_final", None) is None:
+            self._final = self._embeddings_fn(self.params)
+        u_pred, u_on, i_pred, i_on = self._final
+        return (jnp.concatenate([u_pred, u_on], axis=1),
+                jnp.concatenate([i_on, i_pred], axis=1))

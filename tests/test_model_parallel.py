@@ -258,6 +258,11 @@ def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
     ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32)),
     ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32,
                      final_act="relu")),
+    # round 4: plain/concatenated-dot models gain predict_topk too
+    ("AOBPR", dict(lr=0.05, reg=0.001, embed_size=8)),
+    ("FPMC", dict(lr=0.05, reg=0.01, embed_size=8, batch_size=128)),
+    ("SelfCF", dict(lr=0.01, reg=0.0, embed_dim=8, n_layers=1, dropout=0.3,
+                    batch_size=64)),
 ])
 def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
                                     monkeypatch):
@@ -281,6 +286,33 @@ def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
     routed = m.evaluator.evaluate(m)  # model axis > 1 -> topk route
     for k in full.metrics():
         np.testing.assert_allclose(routed[k], full[k], rtol=1e-5, atol=1e-7)
+
+
+def test_dot_family_fused_eval_matches_full(data_dir, tmp_path,
+                                            monkeypatch):
+    """AOBPR (plain dot), FPMC and SelfCF (concatenated dots) joined the
+    fused eval family in round 4: fused metrics equal full evaluation."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.utils import ModelRegistry
+
+    reg = ModelRegistry()
+    for name, hp in [
+        ("AOBPR", dict(lr=0.05, reg=0.001, embed_size=8)),
+        ("FPMC", dict(lr=0.05, reg=0.01, embed_size=8, batch_size=128)),
+        ("SelfCF", dict(lr=0.01, reg=0.0, embed_dim=8, n_layers=1,
+                        dropout=0.3, batch_size=64)),
+    ]:
+        assert reg.load_skrx_model(name)
+        cls, _ = reg.get_model(name)
+        run = _run_config(data_dir)
+        run.recommender = name
+        m = cls(run, dict(hp, epochs=1, early_stop=1))
+        m.fit()
+        full = m.evaluator._evaluate_full(m)
+        fused = m.evaluator.evaluate_fused(m, num_items=m.num_items)
+        for k in full.metrics():
+            np.testing.assert_allclose(fused[k], full[k], rtol=1e-5,
+                                       atol=1e-7, err_msg=name)
 
 
 def test_ae_fused_eval_matches_full(data_dir, tmp_path, monkeypatch):

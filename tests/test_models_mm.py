@@ -68,3 +68,24 @@ def test_mm_data_loading(data_dir):
     assert ds.img_features is not None and ds.img_dim == 12
     assert ds.txt_features is not None and ds.txt_dim == 10
     assert ds.img_features.shape[0] == ds.num_items
+
+
+def test_lattice_chunked_and_fused_eval(data_dir, tmp_path, monkeypatch):
+    """LATTICE joined the dot eval families (round 4): chunked and fused
+    (interpret dot_topk on CPU) metrics equal full evaluation."""
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.LATTICE import LATTICE
+
+    m = LATTICE(_cfg(data_dir, "LATTICE"),
+                dict(lr=0.01, embed_dim=16, feat_embed_dim=16,
+                     lambda_coeff=0.5, n_layers=1, knn_k=5,
+                     cf_model="lightgcn", batch_size=256, epochs=1,
+                     early_stop=1))
+    m.fit()
+    full = m.evaluator._evaluate_full(m)
+    chunk = m.evaluator.evaluate_chunked(m, num_items=m.num_items,
+                                         chunk_size=33)
+    fused = m.evaluator.evaluate_fused(m, num_items=m.num_items)
+    for k in full.metrics():
+        np.testing.assert_allclose(chunk[k], full[k], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(fused[k], full[k], rtol=1e-5, atol=1e-7)
