@@ -20,7 +20,7 @@ import optax
 
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import CachedUserVecChunkMixin, EpochTrainedRecommender
 from .pipeline import PairwiseEpochPipeline
 
 __all__ = ["CML", "CMLConfig"]
@@ -54,7 +54,7 @@ def _clip_rows_by_norm(table, rows, clip_norm):
     return table.at[rows].set(vecs * scale)
 
 
-class CML(EpochTrainedRecommender):
+class CML(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = CMLConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -133,6 +133,26 @@ class CML(EpochTrainedRecommender):
             return -dists
 
         self._predict_fn = predict_fn
+
+    # -- tensor-parallel eval (round 4): metric-learning score is not a
+    # dot, so predict_topk routes a custom _topk_score_fn through the
+    # catalog shards (the SGAT pattern) — expanded euclidean, never
+    # materializing (B, S, d) per shard; fused dot_topk stays disabled
+    # (no activation/score hook there).
+
+    def _user_vectors(self, users):
+        import jax.numpy as jnp
+        return self.params["user_emb"][jnp.asarray(users)]
+
+    def _topk_factors(self, uv):
+        return uv, self.params["item_emb"], None
+
+    @staticmethod
+    def _topk_score_fn(uv, items, bias):
+        import jax.numpy as jnp
+        d2 = (jnp.sum(uv * uv, -1)[:, None] - 2.0 * (uv @ items.T)
+              + jnp.sum(items * items, -1)[None, :])
+        return -jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12) + bias[None, :]
 
     def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))

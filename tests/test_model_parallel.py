@@ -263,6 +263,8 @@ def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
     ("FPMC", dict(lr=0.05, reg=0.01, embed_size=8, batch_size=128)),
     ("SelfCF", dict(lr=0.01, reg=0.0, embed_dim=8, n_layers=1, dropout=0.3,
                     batch_size=64)),
+    # round 4: metric learning — euclidean _topk_score_fn inside the shards
+    ("CML", dict(lr=0.05, reg=1.0, embed_size=8, dns=3, batch_size=128)),
 ])
 def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
                                     monkeypatch):
