@@ -30,7 +30,8 @@ from ..ops import get_initializer, torch_layer_default
 from ..ops.graph import propagate
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import build_prop_graph, EpochTrainedRecommender
+from .common import (build_prop_graph, ChunkedDotPredictMixin,
+                     EpochTrainedRecommender)
 from .pipeline import InteractionEpochPipeline
 
 __all__ = ["SLMRec", "SLMRecConfig"]
@@ -99,7 +100,7 @@ def _slmrec_adj(pairs, num_users, num_items, adj_type):
     return left_norm(adj) + sp.eye(n)
 
 
-class SLMRec(EpochTrainedRecommender):
+class SLMRec(ChunkedDotPredictMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = SLMRecConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -336,3 +337,15 @@ class SLMRec(EpochTrainedRecommender):
         u_all, i_all = self._final
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return jax.nn.sigmoid(u_all[users] @ i_all[item_lo:item_hi].T)
+
+    # TP eval (round 4): sigmoid is strictly monotone but changes VALUES,
+    # so predict_topk routes a custom _topk_score_fn (applied inside each
+    # catalog shard); fused dot_topk stays disabled (no score hook).
+    def _chunk_embeddings(self):
+        if self._final is None:
+            self._final = self._compute(self.params)
+        return self._final
+
+    @staticmethod
+    def _topk_score_fn(uv, items, bias):
+        return jax.nn.sigmoid(uv @ items.T + bias[None, :])

@@ -32,6 +32,7 @@ from ..ops.rnn import gru_init, gru_step
 from ..run_config import RunConfig
 from ..utils import ModelConfig
 from .base import JaxRecommender
+from .common import CachedUserVecChunkMixin
 
 __all__ = ["SRGNN", "SRGNNConfig"]
 
@@ -75,7 +76,7 @@ def _prepare_sessions(seqs: List[np.ndarray], l_max: int, n_max: int,
     return nodes, alias, lengths
 
 
-class SRGNN(JaxRecommender):
+class SRGNN(CachedUserVecChunkMixin, JaxRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = SRGNNConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -142,7 +143,7 @@ class SRGNN(JaxRecommender):
         # zero-batch epoch would yield a NaN mean loss and abort fit())
         bsz = max(1, min(cfg.batch_size, len(train_seq)))
 
-        def session_logits(p, nodes_b, alias_b, len_b):
+        def session_embed(p, nodes_b, alias_b, len_b):
             b = nodes_b.shape[0]
             emb_table = jnp.concatenate(
                 [p["embedding"], jnp.zeros((1, d))], axis=0)
@@ -190,7 +191,14 @@ class SRGNN(JaxRecommender):
                 # the reference concatenates the nasr_w1-PROJECTED last state
                 # (SRGNN.py:154-163), not the raw last_h
                 sess = jnp.concatenate([attn, last_proj], axis=-1) @ p["B"]
-            return sess @ p["embedding"].T                       # (B, N_items)
+            return sess                                       # (B, D')
+
+        self._session_embed = session_embed
+        self._session_embed_jit = jax.jit(session_embed)
+
+        def session_logits(p, nodes_b, alias_b, len_b):
+            return session_embed(p, nodes_b, alias_b, len_b) \
+                @ p["embedding"].T                               # (B, N_items)
 
         self._session_logits = session_logits
 
@@ -236,6 +244,10 @@ class SRGNN(JaxRecommender):
 
         self._predict_fn = predict_fn
 
+        # tower eval contract (round 4): the session score is
+        # sess_emb @ embedding.T — SRGNN joins the chunked/fused/TP
+        # evaluation families (encoder per batch, dot sharded/paged)
+
     def _shuffled_order(self, epoch: int) -> np.ndarray:
         """Two-level shuffle over length-sorted indices
         (SRGNN.py:220-231): chunk the descending-length order into
@@ -262,3 +274,15 @@ class SRGNN(JaxRecommender):
     def predict(self, users) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
         return self._predict_fn(self.params, users)
+
+    def _user_vectors(self, users):
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return self._session_embed_jit(self.params, self._t_nodes[users],
+                                       self._t_alias[users],
+                                       self._t_lengths[users])
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        return uv @ self.params["embedding"][item_lo:item_hi].T
+
+    def _topk_factors(self, uv):
+        return uv, self.params["embedding"], None

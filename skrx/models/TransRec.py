@@ -17,7 +17,7 @@ import optax
 from ..ops import bpr_loss, euclidean_distance, get_initializer
 from ..run_config import RunConfig
 from ..utils import ModelConfig
-from .common import EpochTrainedRecommender
+from .common import CachedUserVecChunkMixin, EpochTrainedRecommender
 from .pipeline import SequentialPairwiseEpochPipeline
 
 __all__ = ["TransRec", "TransRecConfig"]
@@ -44,7 +44,7 @@ class TransRecConfig(ModelConfig):
         assert isinstance(self.early_stop, int)
 
 
-class TransRec(EpochTrainedRecommender):
+class TransRec(CachedUserVecChunkMixin, EpochTrainedRecommender):
     def __init__(self, run_config: RunConfig, model_config: Dict):
         self.config = TransRecConfig(**model_config)
         super().__init__(run_config, self.config)
@@ -128,6 +128,31 @@ class TransRec(EpochTrainedRecommender):
             return -dists + p["item_bias"][None, :]
 
         self._predict_fn = predict_fn
+
+    # TP eval (round 4): translation score is -||t - e_i|| + b_i — not a
+    # dot; predict_topk routes the expanded-euclidean _topk_score_fn
+    # through the catalog shards (SGAT/CML pattern).
+    def _user_vectors(self, users):
+        p = self.params
+        users = jnp.asarray(np.asarray(users, dtype=np.int32))
+        return (p["user_emb"][users] + p["trans"]
+                + p["item_emb"][self._last_items[users]])
+
+    def _topk_factors(self, uv):
+        return uv, self.params["item_emb"], self.params["item_bias"]
+
+    @staticmethod
+    def _topk_score_fn(uv, items, bias):
+        d2 = (jnp.sum(uv * uv, -1)[:, None] - 2.0 * (uv @ items.T)
+              + jnp.sum(items * items, -1)[None, :])
+        return -jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12) + bias[None, :]
+
+    def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
+        p = self.params
+        dists = jnp.sqrt(jnp.sum(
+            (uv[:, None, :] - p["item_emb"][None, item_lo:item_hi, :]) ** 2,
+            -1) + 1e-12)
+        return -dists + p["item_bias"][None, item_lo:item_hi]
 
     def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))

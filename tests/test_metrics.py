@@ -166,6 +166,8 @@ def test_chunked_evaluation_matches_full():
     # elementwise final activation (exact for any act)
     ("GRU4Rec", dict(lr=0.05, layers=[8], batch_size=32,
                      final_act="leaky_relu")),
+    ("SRGNN", dict(lr=0.01, hidden_size=8, step=1, max_seq_len=10,
+                   batch_size=32)),
 ])
 def test_chunked_eval_all_families(name, params, tmp_path, monkeypatch):
     """evaluate_chunked == evaluate across model families."""

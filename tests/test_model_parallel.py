@@ -265,6 +265,9 @@ def test_sasrec_tp_matches_single_device(data_dir, tmp_path, monkeypatch):
                     batch_size=64)),
     # round 4: metric learning — euclidean _topk_score_fn inside the shards
     ("CML", dict(lr=0.05, reg=1.0, embed_size=8, dns=3, batch_size=128)),
+    ("TransRec", dict(lr=0.01, embed_size=8, batch_size=128)),
+    ("SRGNN", dict(lr=0.01, hidden_size=8, step=1, max_seq_len=10,
+                   batch_size=32)),
 ])
 def test_tower_tp_eval_matches_full(name, params, data_dir, tmp_path,
                                     monkeypatch):

@@ -89,3 +89,25 @@ def test_lattice_chunked_and_fused_eval(data_dir, tmp_path, monkeypatch):
     for k in full.metrics():
         np.testing.assert_allclose(chunk[k], full[k], rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(fused[k], full[k], rtol=1e-5, atol=1e-7)
+
+
+def test_slmrec_tp_eval_matches_full(data_dir, tmp_path, monkeypatch):
+    """SLMRec evaluates tensor-parallel via its sigmoid _topk_score_fn
+    (round 4): routed metrics equal full evaluation at (4, 2)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    monkeypatch.chdir(tmp_path)
+    from skrx.models.SLMRec import SLMRec
+
+    run = _cfg(data_dir, "SLMRec")
+    run.mesh_shape = (4, 2)
+    m = SLMRec(run, dict(lr=0.01, rec_dim=16, layer_num=1, ssl_alpha=0.01,
+                         ssl_temp=0.1, temp=0.2, mm_fusion_mode="mean",
+                         adj_type="pre", ssl_task="FAC", batch_size=256,
+                         epochs=1, early_stop=1))
+    m.fit()
+    full = m.evaluator._evaluate_full(m)
+    routed = m.evaluator.evaluate(m)   # model axis > 1 -> topk route
+    for k in full.metrics():
+        np.testing.assert_allclose(routed[k], full[k], rtol=1e-5, atol=1e-7)
