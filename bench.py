@@ -44,8 +44,11 @@ output):
 * The TPU handshake (first-compile latency through the axon tunnel is
   volatile: measured 0.4 s in-process steady state but 46-490 s for the
   FIRST compile of a fresh process, varying with tunnel congestion) is
-  absorbed by a warm-up thread started at t=0, overlapping data
-  generation and any baseline re-measure.
+  absorbed by a warm-up thread ONLY when there is a 42 s baseline
+  re-measure to overlap; with the baseline cached, the train phase's own
+  first compile is the handshake (a separate warm-up would serialize an
+  extra server round in front of it — measured 48-75 s of pure added
+  latency under a degraded tunnel).
 * The JAX persistent compilation cache is NOT used: measured on this
   platform, warm cache READS hang or take longer than cold compiles
   (487 s warm vs 46 s cold for a trivial jit — executable
@@ -200,18 +203,26 @@ def bench_reference_cpu(adj, users, pos, neg, n_steps=BASELINE_STEPS):
     return n_steps / best
 
 
-def baseline_steps_per_s(adj, users, pos, neg):
-    """Cached CPU baseline: read bench_baseline_cpu.json on a fingerprint
-    hit; measure + write on a miss."""
-    fp = _fingerprint()
+def _cached_baseline():
+    """steps/s from bench_baseline_cpu.json on a fingerprint hit, else
+    None."""
     try:
         with open(_BASELINE_FILE) as f:
             rec = json.load(f)
-        if rec.get("fingerprint") == fp:
-            RESULTS["baseline_cached"] = True
+        if rec.get("fingerprint") == _fingerprint():
             return float(rec["steps_per_s"])
     except (OSError, ValueError, KeyError):
         pass
+    return None
+
+
+def baseline_steps_per_s(adj, users, pos, neg):
+    """Cached CPU baseline: read bench_baseline_cpu.json on a fingerprint
+    hit; measure + write on a miss."""
+    cached = _cached_baseline()
+    if cached is not None:
+        RESULTS["baseline_cached"] = True
+        return cached
     RESULTS["baseline_cached"] = False
     sps = bench_reference_cpu(adj, users, pos, neg)
     try:
@@ -340,8 +351,15 @@ def bench_eval_tpu(n_reps=3):
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
-    warm = threading.Thread(target=_tpu_warmup, daemon=True)
-    warm.start()
+    # The warm-up thread only pays off when there is host work to overlap
+    # (a 42 s baseline re-measure). With the baseline cached, the train
+    # phase's own first compile IS the handshake — a separate warm-up
+    # would just serialize an extra server round in front of it (measured
+    # 48-75 s of pure added latency under a degraded tunnel).
+    warm = None
+    if _cached_baseline() is None:
+        warm = threading.Thread(target=_tpu_warmup, daemon=True)
+        warm.start()
 
     # ANY phase failure must still emit the JSON with what completed (an
     # uncaught exception would exit with a traceback and no artifact —
@@ -356,7 +374,8 @@ def main():
         PHASES["cpu_baseline"] = time.perf_counter() - t0
         RESULTS["baseline_steps_per_s"] = round(baseline_sps, 3)
 
-        warm.join()
+        if warm is not None:
+            warm.join()
 
         t0 = time.perf_counter()
         tpu_sps = bench_skrx_tpu(adj, users, pos, neg)
