@@ -40,7 +40,7 @@ output):
 * A watchdog THREAD (not signal.alarm — a Python signal handler cannot
   preempt a hung C-level device call; a thread can always print and
   _exit) emits the JSON line with whatever phases completed plus a
-  "truncated" field when SKRX_BENCH_DEADLINE (default 150 s) expires.
+  "truncated" field when SKRX_BENCH_DEADLINE (default 185 s) expires.
 * The TPU handshake (first-compile latency through the axon tunnel is
   volatile: measured 0.4 s in-process steady state but 46-490 s for the
   FIRST compile of a fresh process, varying with tunnel congestion) is
@@ -226,12 +226,16 @@ def baseline_steps_per_s(adj, users, pos, neg):
     RESULTS["baseline_cached"] = False
     sps = bench_reference_cpu(adj, users, pos, neg)
     try:
+        # serialize BEFORE opening: a serialization error must never
+        # truncate the committed cache file
+        blob = json.dumps({"fingerprint": _fingerprint(),
+                           "steps_per_s": sps,
+                           "note": "best-of-%d x %d-step repeats of the "
+                                   "reference torch-CPU LightGCN loop"
+                                   % (BASELINE_REPEATS, BASELINE_STEPS)},
+                          indent=1)
         with open(_BASELINE_FILE, "w") as f:
-            json.dump({"fingerprint": fp, "steps_per_s": sps,
-                       "note": "best-of-%d x %d-step repeats of the "
-                               "reference torch-CPU LightGCN loop"
-                               % (BASELINE_REPEATS, BASELINE_STEPS)},
-                      f, indent=1)
+            f.write(blob)
     except OSError:
         pass
     return sps

@@ -406,26 +406,37 @@ class RankingEvaluator:
             u_all, i_all = model._chunk_embeddings()
             bias = model._chunk_bias() if hasattr(model, "_chunk_bias") \
                 else None
-            # one device gather stacks every page's user vectors
-            uv_g = jnp.asarray(u_all, jnp.float32)[
-                jnp.asarray(users_padded)].reshape(n_batches, bs, -1)
+            u_all = jnp.asarray(u_all, jnp.float32)
+            d = int(u_all.shape[1])
+            uv_for = None
         else:
             # tower family: item factors are uv-independent (probed with
-            # uv=None); the per-batch encoder is model code and stays a
-            # dispatch per batch — only its outputs enter the paged scan
+            # uv=None) and uv passes through _topk_factors untouched (the
+            # documented contract), so the per-batch encoder output IS the
+            # dot factor; the encoder is model code and stays a dispatch
+            # per batch — only its outputs enter the paged scan
             _, i_all, bias = model._topk_factors(None)
-            uvs = []
-            for g in range(n_batches):
-                uv2, _, _ = model._topk_factors(
-                    model._cached_user_vectors(users_g[g]))
-                uvs.append(jnp.asarray(uv2, jnp.float32))
-            uv_g = jnp.stack(uvs)
+            u_all = None
+            probe = model._cached_user_vectors(users_g[0])
+            d = int(jnp.asarray(probe).shape[1])
+
+            def uv_for(g):
+                return jnp.asarray(
+                    model._cached_user_vectors(users_g[g]), jnp.float32)
         packed = pack_items(jnp.asarray(i_all, jnp.float32), bias)
         n_items = int(i_all.shape[0])
         sentinel = num_items + 1   # never matches a test id OR the pad id
 
+        # bound the device residency of the stacked per-page inputs (the
+        # per-batch loop this replaced held ONE page at a time): page
+        # groups of at most ~256 MB of stacked uv+tables per dispatch
+        row_bytes = bs * (d + train_g.shape[2] + test_g.shape[2] + 2) * 4
+        budget = getattr(self, "paged_mem_budget", 256 << 20)
+        pages_per_call = max(1, min(n_batches, budget // row_bytes))
+        n_calls = -(-n_batches // pages_per_call)
+
         key = ("fused_paged", n_items, num_items, k, self.metrics, interpret,
-               uv_g.shape, train_g.shape[2], test_g.shape[2])
+               bs, d, pages_per_call, train_g.shape[2], test_g.shape[2])
         cache = self.__dict__.setdefault("_paged_cache", {})
         runner = cache.get(key)
         if runner is None:
@@ -455,10 +466,30 @@ class RankingEvaluator:
             runner = jax.jit(run)
             cache[key] = runner
 
-        metric_sum = runner(uv_g, packed[0], packed[1],
-                            jnp.asarray(train_g),
-                            jnp.asarray(test_g), jnp.asarray(len_g),
-                            jnp.asarray(weight_g))
+        metric_sum = None
+        for lo in range(0, n_batches, pages_per_call):
+            hi = min(lo + pages_per_call, n_batches)
+            gpad = pages_per_call - (hi - lo)
+            if uv_for is None:
+                uv_g = u_all[jnp.asarray(
+                    users_g[lo:hi].reshape(-1))].reshape(hi - lo, bs, d)
+            else:
+                uv_g = jnp.stack([uv_for(g) for g in range(lo, hi)])
+            tr_g, te_g = train_g[lo:hi], test_g[lo:hi]
+            ln_g, wt_g = len_g[lo:hi], weight_g[lo:hi]
+            if gpad:   # pad the tail group: one compiled shape, zero weight
+                uv_g = jnp.concatenate(
+                    [uv_g, jnp.broadcast_to(uv_g[-1:],
+                                            (gpad,) + uv_g.shape[1:])], 0)
+                tr_g = np.concatenate([tr_g, np.repeat(tr_g[-1:], gpad, 0)])
+                te_g = np.concatenate([te_g, np.repeat(te_g[-1:], gpad, 0)])
+                ln_g = np.concatenate([ln_g, np.repeat(ln_g[-1:], gpad, 0)])
+                wt_g = np.concatenate(
+                    [wt_g, np.zeros((gpad,) + wt_g.shape[1:], np.float32)])
+            part = runner(uv_g, packed[0], packed[1], jnp.asarray(tr_g),
+                          jnp.asarray(te_g), jnp.asarray(ln_g),
+                          jnp.asarray(wt_g))
+            metric_sum = part if metric_sum is None else metric_sum + part
         final = np.asarray(metric_sum) / n_users
         final = final[:, self.top_show - 1].reshape(-1)
         return MetricReport(self.metrics_list, final)

@@ -126,11 +126,17 @@ class FPMC(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
     def _chunk_embeddings(self):
         # score = <UI_u, IU_i> + <LI_last(u), IL_i> == one concatenated dot
-        # (round 4): uv = [UI_u | LI_last(u)], table = [IU | IL]
+        # (round 4): uv = [UI_u | LI_last(u)], table = [IU | IL].
+        # Memoized on params identity: fresh concats per call would defeat
+        # the serving packed-table cache (keyed by table id).
         p = self.params
-        u_all = jnp.concatenate([p["UI"], p["LI"][self._last_items]], axis=1)
-        i_all = jnp.concatenate([p["IU"], p["IL"]], axis=1)
-        return u_all, i_all
+        cached = getattr(self, "_concat_cache", None)
+        if cached is None or cached[0] is not p:
+            u_all = jnp.concatenate([p["UI"], p["LI"][self._last_items]],
+                                    axis=1)
+            i_all = jnp.concatenate([p["IU"], p["IL"]], axis=1)
+            self._concat_cache = (p, (u_all, i_all))
+        return self._concat_cache[1]
 
     def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))

@@ -188,9 +188,15 @@ class SelfCF(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
     def _chunk_embeddings(self):
         # the two-dot predict is one concatenated dot (round 4):
-        # uv = [u_pred | u_on], table = [i_on | i_pred]
+        # uv = [u_pred | u_on], table = [i_on | i_pred]. Memoized on the
+        # cached eval embeddings' identity (fresh concats per call would
+        # defeat the serving packed-table cache, keyed by table id).
         if getattr(self, "_final", None) is None:
             self._final = self._embeddings_fn(self.params)
-        u_pred, u_on, i_pred, i_on = self._final
-        return (jnp.concatenate([u_pred, u_on], axis=1),
-                jnp.concatenate([i_on, i_pred], axis=1))
+        cached = getattr(self, "_concat_cache", None)
+        if cached is None or cached[0] is not self._final:
+            u_pred, u_on, i_pred, i_on = self._final
+            self._concat_cache = (self._final, (
+                jnp.concatenate([u_pred, u_on], axis=1),
+                jnp.concatenate([i_on, i_pred], axis=1)))
+        return self._concat_cache[1]

@@ -154,12 +154,3 @@ class TransRec(CachedUserVecChunkMixin, EpochTrainedRecommender):
             -1) + 1e-12)
         return -dists + p["item_bias"][None, item_lo:item_hi]
 
-    def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
-        users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        p = self.params
-        translated = (p["user_emb"][users] + p["trans"]
-                      + p["item_emb"][self._last_items[users]])
-        dists = jnp.sqrt(jnp.sum(
-            (translated[:, None, :] - p["item_emb"][None, item_lo:item_hi, :]) ** 2,
-            -1) + 1e-12)
-        return -dists + p["item_bias"][None, item_lo:item_hi]

@@ -58,7 +58,13 @@ class TopKRecommender:
         want = fused == "always" or (
             fused == "auto" and num_items >= self.FUSED_MIN_ITEMS
             and jax.default_backend() == "tpu")
-        if want and hasattr(model, "_chunk_embeddings"):
+        # models whose predict applies a score transform past the dot
+        # (sigmoid/relu towers) advertise _topk_score_fn — the raw-dot
+        # fused kernel would return logits and could re-order relu's
+        # clamped ties, so they keep the predict+rank path (same gate the
+        # evaluator applies)
+        plain_dot = getattr(model, "_topk_score_fn", None) is None
+        if want and plain_dot and hasattr(model, "_chunk_embeddings"):
             from .ops.pallas import dot_topk
             interpret = jax.default_backend() != "tpu"
 

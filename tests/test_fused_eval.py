@@ -175,3 +175,28 @@ def test_run_config_compute_dtype_routes_to_model_config(tmp_path,
         b = BPRMF(run_bpr, dict(lr=0.05, reg=0.001, n_dim=8, batch_size=64,
                                 epochs=1, early_stop=1))
     assert "compute_dtype" not in b.config.to_dict()
+
+
+def test_fused_paged_super_chunks_match_full():
+    """A tiny paged memory budget forces multiple runner calls with a
+    padded tail group — metrics must equal full evaluation exactly."""
+    rng = np.random.default_rng(17)
+    u, n, d = 37, 500, 16            # 5 pages at bs=8, tail group padded
+    m = _DotModel(rng.standard_normal((u, d)), rng.standard_normal((n, d)),
+                  bias=rng.standard_normal(n))
+    train = {x: rng.permutation(n)[:15] for x in range(u)}
+    test = {x: rng.permutation(n)[:4] for x in range(u)}
+    ev = RankingEvaluator(train, test, metric=("Precision", "Recall",
+                                               "NDCG", "MRR", "MAP"),
+                          top_k=(5, 10), batch_size=8)
+    ev.paged_mem_budget = 1          # -> pages_per_call == 1, 5 calls
+    full = ev.evaluate(m)
+    fused = ev.evaluate_fused(m, num_items=n)
+    for k in full.metrics():
+        np.testing.assert_allclose(fused[k], full[k], rtol=1e-5, atol=1e-7)
+    ev2 = RankingEvaluator(train, test, metric=("NDCG",), top_k=(10,),
+                           batch_size=8)
+    ev2.paged_mem_budget = 2 * 8 * (16 + 64 + 64) * 4   # ~2 pages/call
+    fused2 = ev2.evaluate_fused(m, num_items=n)
+    np.testing.assert_allclose(fused2["NDCG@10"], full["NDCG@10"],
+                               rtol=1e-5, atol=1e-7)
