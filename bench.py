@@ -241,7 +241,7 @@ def baseline_steps_per_s(adj, users, pos, neg):
     return sps
 
 
-def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
+def build_train_step(adj, users, pos, neg):
     """skrx LightGCN train step: propagation via the production graph impl
     ('mxu_bf16' Pallas kernel on TPU at this scale, XLA segment-sum
     elsewhere)."""
@@ -285,13 +285,16 @@ def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
         upd, s = opt.update(grads, s, prm)
         return optax.apply_updates(prm, upd), s, loss
 
-    t0 = time.perf_counter()
     prm, s, loss = step(params, opt.init(params))
     float(loss)  # compile + materialize (axon: block_until_ready won't sync)
-    PHASES["train_compile"] = time.perf_counter() - t0
-    # deadline-aware repeats: under a degraded tunnel the warm-up/compile
-    # can eat most of the budget — 1 timing rep still yields a valid
-    # median-free number, and leaves room for the eval phase
+    return step, (prm, s)
+
+
+def measure_train(step, state, n_steps=30):
+    prm, s = state
+    # deadline-aware repeats: under a degraded tunnel the compile can eat
+    # most of the budget — 1 timing rep still yields a valid number and
+    # leaves room for the eval phase
     reps = 3 if _remaining() > 60 else 1
     times = []
     for _ in range(reps):
@@ -303,44 +306,66 @@ def bench_skrx_tpu(adj, users, pos, neg, n_steps=30):
     return n_steps / sorted(times)[len(times) // 2]
 
 
-def bench_eval_tpu(n_reps=3):
-    """Evaluator hot loop, round-4 paged: G=EVAL_PAGES (1024, 40960) score
-    pages through ONE dispatch of eval_score_matrix_device_paged (the
-    production evaluator's paging), Pallas kernel vs the XLA
-    mask+lax.top_k path. Scores/tables are generated ON DEVICE (moving
-    3 GB of random pages through the tunnel is not part of the workload)."""
+def eval_prep():
+    """Generate the eval pages on device and compile the Pallas paged call
+    — run in a THREAD concurrent with the train compile so both compile
+    requests enter the (shared, possibly congested) server queue early;
+    measured back-to-back they serialize. Returns a dict consumed by
+    :func:`bench_eval_tpu`, or records the error in PHASES."""
     import jax
     import jax.numpy as jnp
 
     from skrx.ops.metrics import eval_score_matrix_device_paged
 
-    key = jax.random.PRNGKey(2)
-    ks, kt, kv = jax.random.split(key, 3)
-    gen = jax.jit(lambda: (
-        jax.random.normal(ks, (EVAL_PAGES, EVAL_B, EVAL_N), jnp.float32),
-        jax.random.randint(kt, (EVAL_PAGES, EVAL_B, 64), 0, EVAL_N,
-                           jnp.int32),
-        jax.random.randint(kv, (EVAL_PAGES, EVAL_B, 16), 0, EVAL_N,
-                           jnp.int32)))
-    scores_g, train_g, test_g = gen()
-    test_len_g = jnp.full((EVAL_PAGES, EVAL_B), 16, jnp.int32)
-    float(scores_g[0, 0, 0])
-    metric_ids = (1, 2, 4, 5)
+    ctx = {}
+    try:
+        key = jax.random.PRNGKey(2)
+        ks, kt, kv = jax.random.split(key, 3)
+        gen = jax.jit(lambda: (
+            jax.random.normal(ks, (EVAL_PAGES, EVAL_B, EVAL_N), jnp.float32),
+            jax.random.randint(kt, (EVAL_PAGES, EVAL_B, 64), 0, EVAL_N,
+                               jnp.int32),
+            jax.random.randint(kv, (EVAL_PAGES, EVAL_B, 16), 0, EVAL_N,
+                               jnp.int32)))
+        scores_g, train_g, test_g = gen()
+        test_len_g = jnp.full((EVAL_PAGES, EVAL_B), 16, jnp.int32)
+        metric_ids = (1, 2, 4, 5)
 
-    def run(use_pallas):
-        def call():
+        def call(use_pallas):
             return eval_score_matrix_device_paged(
                 scores_g, train_g, test_g, test_len_g, metric_ids, EVAL_K,
                 use_pallas=use_pallas)
+
         t0 = time.perf_counter()
-        float(call()[0, 0, 0, 0])  # compile + materialize
-        PHASES["eval_compile_%s" % ("pallas" if use_pallas else "xla")] = \
-            time.perf_counter() - t0
+        float(call(True)[0, 0, 0, 0])  # compile + materialize (pallas)
+        PHASES["eval_compile_pallas"] = time.perf_counter() - t0
+        ctx["call"] = call
+    except Exception as e:  # surfaced, not fatal to the train phase
+        RESULTS["eval_prep_error"] = repr(e)
+    return ctx
+
+
+def bench_eval_tpu(ctx, n_reps=3):
+    """Evaluator hot loop, round-4 paged: G=EVAL_PAGES (1024, 40960) score
+    pages through ONE dispatch of eval_score_matrix_device_paged (the
+    production evaluator's paging), Pallas kernel vs the XLA
+    mask+lax.top_k path. Scores/tables are generated ON DEVICE (moving
+    3 GB of random pages through the tunnel is not part of the workload)
+    by :func:`eval_prep`, which also pre-compiled the Pallas variant."""
+    call = ctx.get("call")
+    if call is None:
+        return None, None
+
+    def run(use_pallas):
+        if use_pallas is False:
+            t0 = time.perf_counter()
+            float(call(False)[0, 0, 0, 0])  # compile + materialize
+            PHASES["eval_compile_xla"] = time.perf_counter() - t0
         times = []
         for _ in range(3 if _remaining() > 45 else 1):
             t0 = time.perf_counter()
             for _ in range(n_reps):
-                out = call()
+                out = call(use_pallas)
             float(out[0, 0, 0, 0])
             times.append(time.perf_counter() - t0)
         return n_reps * EVAL_PAGES * EVAL_B / sorted(times)[len(times) // 2]
@@ -381,16 +406,31 @@ def main():
         if warm is not None:
             warm.join()
 
+        # eval page gen + Pallas compile rides CONCURRENTLY with the train
+        # compile (both requests enter the compile queue early; the train
+        # MEASUREMENT below only starts after this thread is joined, so
+        # the timing loop never shares the device with eval work)
+        ectx = {}
+        eth = threading.Thread(
+            target=lambda: ectx.update(eval_prep()), daemon=True)
+        eth.start()
+
         t0 = time.perf_counter()
-        tpu_sps = bench_skrx_tpu(adj, users, pos, neg)
+        train_step, train_state = build_train_step(adj, users, pos, neg)
+        PHASES["train_compile"] = time.perf_counter() - t0
+        eth.join()
+
+        t0 = time.perf_counter()
+        tpu_sps = measure_train(train_step, train_state)
         PHASES["tpu_train"] = time.perf_counter() - t0
         RESULTS["value"] = round(tpu_sps * BATCH, 1)
         RESULTS["vs_baseline"] = round(tpu_sps / baseline_sps, 2)
 
         t0 = time.perf_counter()
-        eval_ups, eval_vs_xla = bench_eval_tpu()
+        eval_ups, eval_vs_xla = bench_eval_tpu(ectx)
         PHASES["tpu_eval"] = time.perf_counter() - t0
-        RESULTS["eval_users_per_s"] = round(eval_ups, 1)
+        if eval_ups is not None:
+            RESULTS["eval_users_per_s"] = round(eval_ups, 1)
         if eval_vs_xla is not None:
             RESULTS["eval_vs_xla"] = round(eval_vs_xla, 2)
     except Exception as e:
