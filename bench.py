@@ -345,7 +345,7 @@ def eval_prep():
     return ctx
 
 
-def bench_eval_tpu(ctx, n_reps=3):
+def bench_eval_tpu(ctx, n_reps=5):
     """Evaluator hot loop, round-4 paged: G=EVAL_PAGES (1024, 40960) score
     pages through ONE dispatch of eval_score_matrix_device_paged (the
     production evaluator's paging), Pallas kernel vs the XLA
