@@ -466,29 +466,67 @@ class RankingEvaluator:
             runner = jax.jit(run)
             cache[key] = runner
 
+        # The stacked tables are fixed across evaluations of the same test
+        # set: upload them to the device ONCE and reuse (per-epoch eval was
+        # paying a multi-MB host->device table transfer through the tunnel
+        # every epoch — measured 7.7 s of a 7.8 s Gowalla-scale evaluate()
+        # before this cache; ~0.2 s after). users_g also rides along for
+        # the chunk-family uv gather.
+        tkey = (getattr(self, "_data_version", 0), num_items, bs,
+                pages_per_call, test_g.shape[2], train_g.shape[2],
+                hash(users_padded.tobytes()))
+        # holding the tables on device trades HBM for per-epoch transfer;
+        # past ~1 GB (huge test sets x long histories) fall back to
+        # re-uploading per evaluation (self.table_cache_budget overrides)
+        total_bytes = 4 * n_batches * bs * (train_g.shape[2]
+                                            + test_g.shape[2] + 3)
+        cache_ok = total_bytes <= getattr(self, "table_cache_budget",
+                                          1 << 30)
+        cached = getattr(self, "_dev_table_cache", None) if cache_ok \
+            else None
+        if cached is None or cached[0] != tkey:
+            groups = []
+            for lo in range(0, n_batches, pages_per_call):
+                hi = min(lo + pages_per_call, n_batches)
+                gpad = pages_per_call - (hi - lo)
+                tr_g, te_g = train_g[lo:hi], test_g[lo:hi]
+                ln_g, wt_g = len_g[lo:hi], weight_g[lo:hi]
+                us_g = users_g[lo:hi]
+                if gpad:   # pad the tail group: one compiled shape,
+                    tr_g = np.concatenate(   # zero weight
+                        [tr_g, np.repeat(tr_g[-1:], gpad, 0)])
+                    te_g = np.concatenate(
+                        [te_g, np.repeat(te_g[-1:], gpad, 0)])
+                    ln_g = np.concatenate(
+                        [ln_g, np.repeat(ln_g[-1:], gpad, 0)])
+                    wt_g = np.concatenate(
+                        [wt_g,
+                         np.zeros((gpad,) + wt_g.shape[1:], np.float32)])
+                    us_g = np.concatenate(
+                        [us_g, np.repeat(us_g[-1:], gpad, 0)])
+                groups.append((lo, hi, jnp.asarray(us_g),
+                               jnp.asarray(tr_g), jnp.asarray(te_g),
+                               jnp.asarray(ln_g), jnp.asarray(wt_g)))
+            if cache_ok:
+                self._dev_table_cache = (tkey, groups)
+        else:
+            groups = cached[1]
+
         metric_sum = None
-        for lo in range(0, n_batches, pages_per_call):
-            hi = min(lo + pages_per_call, n_batches)
-            gpad = pages_per_call - (hi - lo)
+        for lo, hi, us_g, tr_g, te_g, ln_g, wt_g in groups:
             if uv_for is None:
-                uv_g = u_all[jnp.asarray(
-                    users_g[lo:hi].reshape(-1))].reshape(hi - lo, bs, d)
+                uv_g = u_all[us_g.reshape(-1)].reshape(
+                    pages_per_call, bs, d)
             else:
-                uv_g = jnp.stack([uv_for(g) for g in range(lo, hi)])
-            tr_g, te_g = train_g[lo:hi], test_g[lo:hi]
-            ln_g, wt_g = len_g[lo:hi], weight_g[lo:hi]
-            if gpad:   # pad the tail group: one compiled shape, zero weight
-                uv_g = jnp.concatenate(
-                    [uv_g, jnp.broadcast_to(uv_g[-1:],
-                                            (gpad,) + uv_g.shape[1:])], 0)
-                tr_g = np.concatenate([tr_g, np.repeat(tr_g[-1:], gpad, 0)])
-                te_g = np.concatenate([te_g, np.repeat(te_g[-1:], gpad, 0)])
-                ln_g = np.concatenate([ln_g, np.repeat(ln_g[-1:], gpad, 0)])
-                wt_g = np.concatenate(
-                    [wt_g, np.zeros((gpad,) + wt_g.shape[1:], np.float32)])
-            part = runner(uv_g, packed[0], packed[1], jnp.asarray(tr_g),
-                          jnp.asarray(te_g), jnp.asarray(ln_g),
-                          jnp.asarray(wt_g))
+                uv_g = jnp.stack(
+                    [uv_for(g) for g in range(lo, hi)])
+                gpad = pages_per_call - (hi - lo)
+                if gpad:
+                    uv_g = jnp.concatenate(
+                        [uv_g, jnp.broadcast_to(
+                            uv_g[-1:], (gpad,) + uv_g.shape[1:])], 0)
+            part = runner(uv_g, packed[0], packed[1], tr_g, te_g, ln_g,
+                          wt_g)
             metric_sum = part if metric_sum is None else metric_sum + part
         final = np.asarray(metric_sum) / n_users
         final = final[:, self.top_show - 1].reshape(-1)

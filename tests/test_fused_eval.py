@@ -200,3 +200,11 @@ def test_fused_paged_super_chunks_match_full():
     fused2 = ev2.evaluate_fused(m, num_items=n)
     np.testing.assert_allclose(fused2["NDCG@10"], full["NDCG@10"],
                                rtol=1e-5, atol=1e-7)
+    # device-table cache disabled (budget 0) must not change metrics
+    ev2.table_cache_budget = 0
+    if hasattr(ev2, "_dev_table_cache"):
+        del ev2._dev_table_cache
+    fused3 = ev2.evaluate_fused(m, num_items=n)
+    assert getattr(ev2, "_dev_table_cache", None) is None
+    np.testing.assert_allclose(fused3["NDCG@10"], full["NDCG@10"],
+                               rtol=1e-5, atol=1e-7)
