@@ -656,21 +656,56 @@ class RankingEvaluator:
         n_users = len(users)
         bs = self.batch_size
 
+        # device-resident per-batch tables, cached across evaluations of
+        # the same test set (per-epoch eval would otherwise re-upload them
+        # every epoch — pure tunnel transfer; same policy as the fused
+        # path's _dev_table_cache, with the same HBM budget fallback)
+        def build_batches(num_items):
+            batches = []
+            for lo in range(0, n_users, bs):
+                batch_users = users[lo: lo + bs]
+                n_real = len(batch_users)
+                pad = bs - n_real
+                if pad:  # pad final batch: same shapes -> one compilation
+                    batch_users = np.concatenate(
+                        [batch_users,
+                         np.full(pad, batch_users[-1], np.int32)])
+                train_table, test_table, test_len = self._tables_for(
+                    batch_users, num_items)
+                weight = (np.arange(bs) < n_real) & (test_len > 0)
+                batches.append(
+                    (batch_users, jnp.asarray(train_table),
+                     jnp.asarray(test_table),
+                     jnp.asarray(np.maximum(test_len, 1)),
+                     jnp.asarray(weight.astype(np.float32))))
+            return batches
+
+        def batches_for(num_items):
+            tkey = (getattr(self, "_data_version", 0), num_items, bs,
+                    hash(users.tobytes()))
+            w = self._tables_for(users[:1], num_items)[0].shape[1]
+            total_bytes = 4 * n_users * (w + 8)
+            if total_bytes > getattr(self, "table_cache_budget", 1 << 30):
+                return build_batches(num_items)
+            cached = getattr(self, "_full_table_cache", None)
+            if cached is None or cached[0] != tkey:
+                self._full_table_cache = (tkey, build_batches(num_items))
+            return self._full_table_cache[1]
+
         metric_sum = None
-        for lo in range(0, n_users, bs):
-            batch_users = users[lo: lo + bs]
-            n_real = len(batch_users)
-            pad = bs - n_real
-            if pad:  # pad final batch: same shapes -> single compilation
-                batch_users = np.concatenate(
-                    [batch_users, np.full(pad, batch_users[-1], np.int32)])
-            scores = jnp.asarray(model.predict(batch_users), dtype=jnp.float32)
-            num_items = scores.shape[1]
-            train_table, test_table, test_len = self._tables_for(batch_users,
-                                                                 num_items)
-            train_table = jnp.asarray(train_table)
-            test_table = jnp.asarray(test_table)
-            test_len_j = jnp.asarray(np.maximum(test_len, 1))
+        batches = None
+        for bi in range(-(-n_users // bs)):
+            if batches is None:
+                # num_items comes from the first predict's width
+                first_users = users[: bs] if n_users >= bs else np.concatenate(
+                    [users, np.full(bs - n_users, users[-1], np.int32)])
+                first_scores = jnp.asarray(model.predict(first_users),
+                                           dtype=jnp.float32)
+                batches = batches_for(int(first_scores.shape[1]))
+            batch_users, train_table, test_table, test_len_j, weight_j = \
+                batches[bi]
+            scores = first_scores if bi == 0 else jnp.asarray(
+                model.predict(batch_users), dtype=jnp.float32)
             if self.mesh is not None:
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -682,11 +717,9 @@ class RankingEvaluator:
             per_user = eval_score_matrix_device(
                 scores, train_table, test_table, test_len_j, self.metrics,
                 self.max_top, use_pallas=self.mesh is None)
-            weight = (np.arange(bs) < n_real) & (test_len > 0)
-            batch_sum = jnp.sum(
-                per_user * jnp.asarray(weight.astype(np.float32))[:, None, None],
-                axis=0)
-            metric_sum = batch_sum if metric_sum is None else metric_sum + batch_sum
+            batch_sum = jnp.sum(per_user * weight_j[:, None, None], axis=0)
+            metric_sum = batch_sum if metric_sum is None \
+                else metric_sum + batch_sum
 
         final = np.asarray(metric_sum) / n_users          # (M, max_top)
         final = final[:, self.top_show - 1].reshape(-1)
