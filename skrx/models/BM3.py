@@ -74,7 +74,7 @@ class BM3(ChunkedDotPredictMixin, EpochTrainedRecommender):
         t_feat = self.dataset.txt_features
         graph = build_prop_graph(_norm_adj_eps(
             self.dataset.train_data.to_user_item_pairs(), num_users,
-            self.num_items), cfg.graph_impl)
+            self.num_items), cfg.graph_impl, mesh=self.mesh)
 
         xavier_u = get_initializer("xavier_uniform")
         xavier_n = get_initializer("xavier_normal")

@@ -85,7 +85,7 @@ class DENS(ChunkedDotPredictMixin, EpochTrainedRecommender):
         upper = sp.csr_matrix((ones, (pairs[:, 0], pairs[:, 1] + num_users)),
                               shape=(n, n))
         adj = normalize_adj_matrix(upper + upper.T, "symmetric")
-        graph = build_prop_graph(adj, cfg.graph_impl)
+        graph = build_prop_graph(adj, cfg.graph_impl, mesh=self.mesh)
 
         init = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 6)

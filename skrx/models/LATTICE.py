@@ -112,7 +112,8 @@ class LATTICE(ChunkedDotPredictMixin, EpochTrainedRecommender):
                               shape=(n, n))
         adj = upper + upper.T + sp.eye(n)
         self._ui_graph = build_prop_graph(
-            normalize_adj_matrix(adj, "left"), cfg.graph_impl)
+            normalize_adj_matrix(adj, "left"), cfg.graph_impl,
+            mesh=self.mesh)
 
         # original (frozen) modality adjacencies, disk-cached dense
         cache_dir = os.path.join(self.dataset.data_dir, "_data_cache")

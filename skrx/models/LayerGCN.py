@@ -105,16 +105,19 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             rows, cols = ui_rows[keep], ui_cols[keep]
             return sym_edges(rows, cols, normalize_values(rows, cols))
 
-        from .common import mxu_msg_dtype, resolve_graph_impl
+        from .common import (graph_sharding_enabled, mxu_msg_dtype,
+                             resolve_graph_impl)
         impl = resolve_graph_impl(cfg.graph_impl, 2 * self._n_edges)
         self._graph_impl = impl
-        if impl.startswith("mxu"):
+        sharded = graph_sharding_enabled(self.mesh)
+        if sharded or impl.startswith("mxu"):
             # Static symmetric node-graph structure; per-epoch pruning becomes
             # an edge MASK: kept-edge indicator with on-device degree
             # renormalization, divided by the baked base weights so
-            # base * mask == the pruned-subgraph normalization.
-            from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
-                                                 propagate_mxu)
+            # base * mask == the pruned-subgraph normalization. The same
+            # formulation serves the mesh-sharded path: the edge partition
+            # (skrx/parallel/graph_shard.py) never changes, only the
+            # replicated (2E,) mask.
             rows_np = pairs[:, 0].astype(np.int64)
             cols_np = pairs[:, 1].astype(np.int64)
             rd = np.bincount(rows_np, minlength=num_users) + 1e-7
@@ -123,10 +126,19 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
                        ).astype(np.float32)
             src_np = np.concatenate([cols_np + num_users, rows_np])
             dst_np = np.concatenate([rows_np, cols_np + num_users])
-            g_static = mxu_graph_from_coo(src_np, dst_np,
-                                          np.concatenate([base_np, base_np]),
-                                          num_users + num_items,
-                msg_dtype=mxu_msg_dtype(impl))
+            if sharded:
+                from ..parallel.graph_shard import ShardedPropGraph
+                g_sharded = ShardedPropGraph(
+                    self.mesh, coo_edges=(src_np, dst_np,
+                                          np.concatenate([base_np, base_np])),
+                    num_nodes=num_users + num_items,
+                    graph_impl=cfg.graph_impl)
+            else:
+                from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
+                                                     propagate_mxu)
+                g_static = mxu_graph_from_coo(
+                    src_np, dst_np, np.concatenate([base_np, base_np]),
+                    num_users + num_items, msg_dtype=mxu_msg_dtype(impl))
             base_dev = jnp.asarray(base_np)
 
             def _mask_from_keep(keep_idx):
@@ -158,8 +170,12 @@ class LayerGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
             self._pruned_by_degree = pruned_state_by_degree
             self._pruned_random = pruned_state_random
 
-            def prop_step(h, state):
-                return propagate_mxu(g_static, h, state)
+            if sharded:
+                def prop_step(h, state):
+                    return g_sharded.prop(h, state)
+            else:
+                def prop_step(h, state):
+                    return propagate_mxu(g_static, h, state)
         else:
             self._full_edges = full_edges
             self._pruned_by_degree = pruned_edges_by_degree

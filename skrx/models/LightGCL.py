@@ -106,9 +106,32 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
         u_mul_s, v_mul_s, ut, vt = (self._u_mul_s, self._v_mul_s, self._ut,
                                     self._vt)
 
-        from .common import mxu_msg_dtype, resolve_graph_impl
+        from .common import (graph_sharding_enabled, mxu_msg_dtype,
+                             resolve_graph_impl)
         impl = resolve_graph_impl(cfg.graph_impl, len(coo.data))
-        if impl.startswith("mxu"):
+        if graph_sharding_enabled(self.mesh):
+            # Mesh-sharded path: both directions fused into ONE square
+            # bipartite propagate A=[[0,R],[R^T,0]] on x=[e_u; e_i]
+            # (edge-partitioned over the mesh, skrx/parallel/graph_shard.py).
+            # Edge ids 0..E-1 are the R direction and E..2E-1 the R^T
+            # direction, so the reference's two INDEPENDENT dropout masks
+            # (LightGCL.py:119-120) concatenate into one (2E,) mask.
+            from ..parallel.graph_shard import ShardedPropGraph
+            w32 = norm_data.astype(np.float32)
+            src_cat = np.concatenate([coo.col + num_users, coo.row])
+            dst_cat = np.concatenate([coo.row, coo.col + num_users])
+            g_sq = ShardedPropGraph(
+                self.mesh, coo_edges=(src_cat, dst_cat,
+                                      np.concatenate([w32, w32])),
+                num_nodes=num_users + num_items, graph_impl=cfg.graph_impl)
+
+            def prop_pair(x_u, x_i, mask_u, mask_i):
+                x = jnp.concatenate([x_u, x_i], axis=0)
+                mask = (None if mask_u is None
+                        else jnp.concatenate([mask_u, mask_i]))
+                out = g_sq.prop(x, mask)
+                return out[:num_users], out[num_users:]
+        elif impl.startswith("mxu"):
             # rectangular R lowered for the MXU scatter kernel; R^T shares
             # buffers (and edge ids, so one dropout mask drives both)
             from ..ops.pallas.segsum_mxu import (mxu_graph_from_coo,
@@ -136,6 +159,10 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
                 return jax.ops.segment_sum(x_u[e_row] * w[:, None], e_col,
                                            num_segments=num_items)
 
+        if not graph_sharding_enabled(self.mesh):
+            def prop_pair(x_u, x_i, mask_u, mask_i):
+                return prop_u(x_i, mask_u), prop_i(x_u, mask_i)
+
         def forward(p, key=None):
             e_u, e_i = p["E_u_0"], p["E_i_0"]
             sum_eu, sum_ei = e_u, e_i
@@ -153,7 +180,7 @@ class LightGCL(ChunkedDotPredictMixin, EpochTrainedRecommender):
                     mask_i = keep_i.astype(jnp.float32) / (1 - dropout)
                 g_u = u_mul_s @ (vt @ e_i)
                 g_i = v_mul_s @ (ut @ e_u)
-                e_u, e_i = prop_u(e_i, mask_u), prop_i(e_u, mask_i)
+                e_u, e_i = prop_pair(e_u, e_i, mask_u, mask_i)
                 sum_eu, sum_ei = sum_eu + e_u, sum_ei + e_i
                 sum_gu, sum_gi = sum_gu + g_u, sum_gi + g_i
             return sum_eu, sum_ei, sum_gu, sum_gi

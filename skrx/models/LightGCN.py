@@ -11,7 +11,11 @@ embeddings frozen once per evaluation for predict (LightGCN.py:109-111).
 
 TPU re-design: ``torch.sparse.mm`` becomes gather + segment-sum over a
 static COO edge list (skrx/ops/graph.py); the whole epoch runs as one jitted
-`lax.scan` with on-device negative sampling.
+`lax.scan` with on-device negative sampling. With a multi-device mesh
+(RunConfig.mesh_shape) the embedding tables are row-sharded over the mesh
+and every propagation runs edge-partitioned under shard_map
+(skrx/parallel/graph_shard.py) — numerics identical to single-device
+(tests/test_sharded_graph_models.py).
 """
 import os
 from typing import Dict
@@ -85,7 +89,11 @@ class LightGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
         self.num_items = self.dataset.num_items
 
         adj = self._load_adj_mat(cfg.adj_type)
-        self.graph = build_prop_graph(adj, cfg.graph_impl)
+        # with a >1-device mesh the propagation itself is sharded: edges
+        # partitioned by destination over all mesh axes, one all-gather per
+        # layer (skrx/parallel/graph_shard.py) — the multi-chip answer to
+        # the reference's single-GPU torch.sparse.mm (LightGCN.py:89-100)
+        self.graph = build_prop_graph(adj, cfg.graph_impl, mesh=self.mesh)
 
         init = get_initializer("xavier_uniform")
         k_u, k_i = jax.random.split(jax.random.key(run_config.seed))
@@ -127,7 +135,11 @@ class LightGCN(ChunkedDotPredictMixin, EpochTrainedRecommender):
                 + p["item_emb"][neg] ** 2, -1) * w)
             return loss + reg * reg_term / batch_size
 
-        self._finalize_setup_flat(run_config.seed, loss_fn)
+        from .common import graph_param_shardings, graph_sharding_enabled
+        shardings = (graph_param_shardings(self.mesh, self.params)
+                     if graph_sharding_enabled(self.mesh) else None)
+        self._finalize_setup_flat(run_config.seed, loss_fn,
+                                  param_shardings=shardings)
         self._final_emb = None
 
     def _load_adj_mat(self, adj_type: str) -> sp.csr_matrix:

@@ -122,7 +122,7 @@ class SLMRec(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
         graph = build_prop_graph(_slmrec_adj(
             self.dataset.train_data.to_user_item_pairs(), num_users,
-            num_items, cfg.adj_type), cfg.graph_impl)
+            num_items, cfg.adj_type), cfg.graph_impl, mesh=self.mesh)
 
         xavier = get_initializer("xavier_uniform")
         glorot = jax.nn.initializers.glorot_uniform()

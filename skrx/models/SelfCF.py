@@ -79,7 +79,7 @@ class SelfCF(ChunkedDotPredictMixin, EpochTrainedRecommender):
 
         adj = _norm_adj_eps(self.dataset.train_data.to_user_item_pairs(),
                             self.num_users, self.num_items)
-        graph = build_prop_graph(adj, cfg.graph_impl)
+        graph = build_prop_graph(adj, cfg.graph_impl, mesh=self.mesh)
 
         init = get_initializer("xavier_uniform")
         keys = jax.random.split(jax.random.key(run_config.seed), 4)

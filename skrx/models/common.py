@@ -17,7 +17,8 @@ __all__ = ["make_train_step", "make_sharded_train_step",
            "EpochTrainedRecommender", "adam_l2",
            "ChunkedDotPredictMixin", "CachedUserVecChunkMixin",
            "build_prop_graph", "GRAPH_IMPLS", "resolve_graph_impl",
-           "mxu_msg_dtype"]
+           "mxu_msg_dtype", "graph_sharding_enabled",
+           "graph_param_shardings"]
 
 GRAPH_IMPLS = ("auto", "segment", "mxu", "mxu_bf16")
 
@@ -55,15 +56,52 @@ def mxu_msg_dtype(impl: str):
     return jnp.bfloat16 if impl == "mxu_bf16" else jnp.float32
 
 
-def build_prop_graph(adj, graph_impl: str = "auto"):
+def graph_sharding_enabled(mesh) -> bool:
+    """Whether graph models should shard their propagation: any mesh
+    spanning more than one device (the propagation is the family's single
+    hot path — reference skrec/recommender/LightGCN.py:89-100 — and the
+    part whose memory/compute grows with the graph)."""
+    return mesh is not None and mesh.devices.size > 1
+
+
+def build_prop_graph(adj, graph_impl: str = "auto", mesh=None):
     """Lower a scipy adjacency for ``skrx.ops.graph.propagate`` using the
-    implementation picked by :func:`resolve_graph_impl`."""
+    implementation picked by :func:`resolve_graph_impl`.
+
+    With ``mesh`` spanning >1 device the edges are partitioned by
+    destination over ALL mesh axes and every propagate runs under
+    ``shard_map`` with the node rows sharded (one all-gather per layer;
+    skrx/parallel/graph_shard.py) — ``propagate(graph, x, edge_mask)``
+    callers need no other change, and the per-device local reduction still
+    follows the graph_impl policy (Pallas MXU kernel on TPU at scale)."""
+    if graph_sharding_enabled(mesh):
+        from ..parallel.graph_shard import ShardedPropGraph
+        return ShardedPropGraph(mesh, adj, graph_impl)
     impl = resolve_graph_impl(graph_impl, adj.nnz)
     if impl.startswith("mxu"):
         from ..ops.pallas.segsum_mxu import mxu_graph_from_sp_matrix
         return mxu_graph_from_sp_matrix(adj, msg_dtype=mxu_msg_dtype(impl))
     from ..ops.graph import graph_from_sp_matrix
     return graph_from_sp_matrix(adj)
+
+
+def graph_param_shardings(mesh, params):
+    """NamedSharding pytree for sharded-graph training: every 2-D embedding
+    table row-sharded over ALL mesh axes (matching the node-row layout the
+    sharded propagate consumes — skrx/parallel/graph_shard.py), everything
+    else replicated. Used as ``_finalize_setup_flat(param_shardings=...)``
+    so the LightGCN family's tables + Adam moments split across the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axes = tuple(mesh.axis_names)
+    rows = NamedSharding(mesh, P(axes, None))
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= mesh.devices.size:
+            return rows
+        return rep
+
+    return jax.tree_util.tree_map(spec, params)
 
 
 def adam_l2(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
@@ -290,7 +328,8 @@ class EpochTrainedRecommender(JaxRecommender):
         self.opt_state = self.optimizer.init(self.params)
         self._rng = jax.random.key(run_seed + 1)
 
-    def _finalize_setup_flat(self, run_seed: int, loss_fn: Callable):
+    def _finalize_setup_flat(self, run_seed: int, loss_fn: Callable,
+                             param_shardings=None):
         """Fused flat-parameter variant of :meth:`_finalize_setup` for models
         whose step is a plain loss_fn + elementwise optimizer (see
         :func:`make_flat_train_step`).
@@ -298,9 +337,24 @@ class EpochTrainedRecommender(JaxRecommender):
         With a tensor-parallel mesh (model axis > 1) the flat raveling would
         destroy per-table row shardings, so this routes to a per-leaf step
         with the embedding tables row-sharded over the 'model' axis
-        (:func:`make_sharded_train_step`); math is identical either way."""
+        (:func:`make_sharded_train_step`); math is identical either way.
+        An explicit ``param_shardings`` pytree (e.g.
+        :func:`graph_param_shardings` for sharded-graph training) overrides
+        that default placement."""
         from ..parallel.mesh import model_parallel_size
 
+        if param_shardings is not None:
+            # best-effort jitted placement (with_sharding_constraint, not
+            # eager device_put): tables whose row count doesn't divide the
+            # full mesh get the closest compatible sharding (e.g. rows split
+            # over 'data' only) instead of a hard error
+            self.params = jax.jit(lambda p: jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, p,
+                param_shardings))(self.params)
+            self._train_step = make_sharded_train_step(
+                self.optimizer, loss_fn, param_shardings)
+            self._finalize_setup(run_seed)
+            return
         if model_parallel_size(self.mesh) > 1:
             from ..parallel import mf_param_shardings, shard_params_for_mf
             self.params = shard_params_for_mf(self.mesh, self.params)

@@ -57,10 +57,15 @@ def propagate(graph, x: jnp.ndarray,
     """One step of A @ x. ``edge_mask`` (float (E,)) scales edge weights —
     used for message dropout without changing shapes.
 
-    Accepts either a :class:`Graph` (XLA gather + sorted segment-sum) or a
+    Accepts a :class:`Graph` (XLA gather + sorted segment-sum), a
     :class:`~skrx.ops.pallas.segsum_mxu.MXUGraph` (Pallas MXU scatter kernel,
-    3.5-4x faster per propagate at Gowalla scale — see segsum_mxu.py)."""
+    3.5-4x faster per propagate at Gowalla scale — see segsum_mxu.py), or a
+    :class:`~skrx.parallel.graph_shard.ShardedPropGraph` (edge-partitioned
+    propagation over a device mesh — graph models become multi-chip by
+    building their graph with a mesh, models/common.build_prop_graph)."""
     if not isinstance(graph, Graph):
+        if hasattr(graph, "prop"):   # ShardedPropGraph (duck-typed: no
+            return graph.prop(x, edge_mask)  # parallel import on this path)
         from .pallas.segsum_mxu import MXUGraph, propagate_mxu
         if isinstance(graph, MXUGraph):
             return propagate_mxu(graph, x, edge_mask)
