@@ -200,11 +200,33 @@ def test_fused_paged_super_chunks_match_full():
     fused2 = ev2.evaluate_fused(m, num_items=n)
     np.testing.assert_allclose(fused2["NDCG@10"], full["NDCG@10"],
                                rtol=1e-5, atol=1e-7)
-    # device-table cache disabled (budget 0) must not change metrics
+    # device-table cache disabled (budget 0) must not change metrics, and
+    # the lazy over-budget path must not populate the LRU
     ev2.table_cache_budget = 0
-    if hasattr(ev2, "_dev_table_cache"):
-        del ev2._dev_table_cache
+    ev2._eval_table_lru = {}
     fused3 = ev2.evaluate_fused(m, num_items=n)
-    assert getattr(ev2, "_dev_table_cache", None) is None
+    assert not ev2._eval_table_lru
     np.testing.assert_allclose(fused3["NDCG@10"], full["NDCG@10"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_eval_table_lru_keeps_alternating_user_sets():
+    """fit()'s valid/test alternation must not thrash the device-table
+    cache: after evaluating two different user subsets the LRU holds both
+    (advisor r4 — the old single-slot cache evicted every epoch)."""
+    rng = np.random.default_rng(23)
+    u, n, d = 24, 300, 8
+    m = _DotModel(rng.standard_normal((u, d)), rng.standard_normal((n, d)))
+    train = {x: rng.permutation(n)[:10] for x in range(u)}
+    test = {x: rng.permutation(n)[:4] for x in range(u)}
+    ev = RankingEvaluator(train, test, metric=("NDCG",), top_k=(10,),
+                          batch_size=8)
+    ev._evaluate_full(m, test_users=range(12))
+    ev._evaluate_full(m, test_users=range(12, 24))
+    assert len(ev._eval_table_lru) == 2
+    keys_before = list(ev._eval_table_lru)
+    r1 = ev._evaluate_full(m, test_users=range(12))
+    r2 = ev._evaluate_full(m, test_users=range(12, 24))
+    assert list(ev._eval_table_lru) != keys_before or \
+        len(ev._eval_table_lru) == 2          # both still resident
+    assert np.isfinite(r1["NDCG@10"]) and np.isfinite(r2["NDCG@10"])
