@@ -265,19 +265,26 @@ class RankingEvaluator:
                                    topk_scores_and_indices)
         k = self.max_top
         metrics = self.metrics
-        # the Pallas kernels are not SPMD-partitionable: route through them
-        # only on single-device evaluators (sharded chunks keep the XLA path)
-        routed = self.mesh is None
-        pallas_merge = routed and jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        # test hook: force the Pallas kernels in interpret mode off-TPU so
+        # the mesh/shard_map routing is CPU-verifiable bit-for-bit
+        force = getattr(self, "_force_pallas_eval", False)
+        use_pal = on_tpu or force
+        interp = not on_tpu
 
-        @jax.jit
-        def merge(best_vals, best_idx, scores, train_table, offset):
+        def merge_impl(best_vals, best_idx, scores, train_table, offset):
+            """Per-device chunk merge (identical math on/off mesh)."""
             width = scores.shape[1]
             shifted = train_table - offset
             # negative indices would WRAP in the scatter; send both
             # below-chunk and above-chunk ids out of bounds (mode='drop')
             shifted = jnp.where(shifted < 0, width, shifted)
-            if routed:
+            if force:
+                from ..ops.pallas import blockwise_topk
+                vals, idx = blockwise_topk(scores, min(k, width),
+                                           mask_table=shifted,
+                                           interpret=interp)
+            elif on_tpu:
                 vals, idx = topk_scores_and_indices(scores, min(k, width),
                                                     mask_table=shifted)
             else:
@@ -286,14 +293,31 @@ class RankingEvaluator:
             idx = idx + offset
             all_vals = jnp.concatenate([best_vals, vals], axis=1)
             all_idx = jnp.concatenate([best_idx, idx], axis=1)
-            if pallas_merge:
+            if use_pal:
                 # lax.top_k costs a fixed ~2.7us/row on TPU even at tiny
                 # widths — per CHUNK; the VMEM kernel merges in ~0.1ms.
                 # Tie-break by id value == reference lowest-global-index.
                 from ..ops.pallas import vmem_topk
-                return vmem_topk(all_vals, all_idx, k)
+                return vmem_topk(all_vals, all_idx, k, interpret=interp)
             top_vals, pos = jax.lax.top_k(all_vals, k)
             return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+        if self.mesh is None or self.batch_size % self.mesh.shape[
+                self.mesh.axis_names[0]] != 0:
+            merge = jax.jit(merge_impl)
+        else:
+            # Mesh: run the SAME merge per-device on its batch rows under
+            # shard_map (manual sharding — the Pallas kernels apply to the
+            # local shard, which auto-partitioning cannot do; round 5,
+            # same pattern as parallel/topk_merge.sharded_dot_topk)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh.axis_names[0]
+            row = P(ax, None)
+            merge = jax.jit(shard_map(
+                merge_impl, mesh=self.mesh,
+                in_specs=(row, row, row, row, P()),
+                out_specs=(row, row), check_vma=False))
 
         @jax.jit
         def batch_metrics(top_idx, test_table, test_len, weight):

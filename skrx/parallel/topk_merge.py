@@ -62,7 +62,8 @@ def sharded_topk_scores(mesh: Mesh, score_fn: Callable, k: int):
 def sharded_dot_topk(mesh: Mesh, uv: jnp.ndarray, i_all: jnp.ndarray,
                      bias: Optional[jnp.ndarray], k: int, n_items: int,
                      train_table: jnp.ndarray, cache: Dict,
-                     score_fn: Optional[Callable] = None):
+                     score_fn: Optional[Callable] = None,
+                     use_pallas: Optional[bool] = None):
     """Exact train-masked top-k of ``uv @ i_all.T + bias`` with the item
     catalog row-sharded over the mesh 'model' axis (two-stage merge) — the
     (B, N) score matrix never exists on one chip.
@@ -81,6 +82,16 @@ def sharded_dot_topk(mesh: Mesh, uv: jnp.ndarray, i_all: jnp.ndarray,
 
     ``cache`` memoizes the jitted shard_map per (mesh, shapes); pass a dict
     owned by the caller so its lifetime matches the model's.
+
+    Selection kernels (round 5): inside ``shard_map`` each device runs on
+    its LOCAL shard, so the Pallas kernels apply per-device (manual
+    sharding, not auto-partitioning — the same pattern as
+    graph_shard._make_sharded_propagate_mxu): the local masked top-k routes
+    through ``blockwise_topk`` when the per-shard width clears the
+    threshold-prune gate, and the (B, m*k) candidate merge through
+    ``vmem_topk`` (lax.top_k costs a fixed ~2.7 us/row on TPU at ANY
+    width). ``use_pallas`` None = auto (TPU); True forces the kernels in
+    interpret mode (CPU equivalence tests); False forces the XLA path.
     """
     m = model_parallel_size(mesh)
     assert m > 1, "sharded_dot_topk needs a mesh with model axis > 1"
@@ -101,11 +112,21 @@ def sharded_dot_topk(mesh: Mesh, uv: jnp.ndarray, i_all: jnp.ndarray,
     train_table = jnp.asarray(train_table, jnp.int32)
 
     key = (id(mesh), k, n_items, int(uv.shape[0]), int(uv.shape[1]),
-           int(train_table.shape[1]))
+           int(train_table.shape[1]), use_pallas)
     fn = cache.get(key)
     if fn is None:
+        from ..ops.metrics import _use_blockwise
+
         k_local = min(k, shard)
         k_glob = min(k, m * k_local, n_items)
+        forced = use_pallas is True
+        on_tpu = jax.default_backend() == "tpu"
+        # per-device local selection: Pallas threshold-pruned kernel when
+        # the PER-SHARD width clears its gate (auto), or when forced
+        local_pallas = (forced or (use_pallas is None
+                                   and _use_blockwise(shard, k_local)))
+        merge_pallas = forced or (use_pallas is None and on_tpu)
+        interpret = not on_tpu
 
         def shard_fn(uv, item_shard, bias_shard, train_tab):
             offset = jax.lax.axis_index(MODEL_AXIS) * shard
@@ -122,14 +143,26 @@ def sharded_dot_topk(mesh: Mesh, uv: jnp.ndarray, i_all: jnp.ndarray,
             # bounds explicitly.
             local = train_tab - offset
             local = jnp.where(local < 0, shard, local)
-            rows = jnp.broadcast_to(
-                jnp.arange(scores.shape[0])[:, None], local.shape)
-            scores = scores.at[rows, local].set(-jnp.inf, mode="drop")
-            vals, idx = jax.lax.top_k(scores, k_local)
+            if local_pallas:
+                from ..ops.pallas import blockwise_topk
+                vals, idx = blockwise_topk(scores, k_local, mask_table=local,
+                                           interpret=interpret)
+            else:
+                rows = jnp.broadcast_to(
+                    jnp.arange(scores.shape[0])[:, None], local.shape)
+                scores = scores.at[rows, local].set(-jnp.inf, mode="drop")
+                vals, idx = jax.lax.top_k(scores, k_local)
             idx = idx + offset
             all_vals = jax.lax.all_gather(vals, MODEL_AXIS, axis=1,
                                           tiled=True)
             all_idx = jax.lax.all_gather(idx, MODEL_AXIS, axis=1, tiled=True)
+            if merge_pallas:
+                # id-value tie-break == lowest-global-index (the candidate
+                # streams are per-shard rank-ordered, so equal values sit
+                # in ascending global-id position order either way)
+                from ..ops.pallas import vmem_topk
+                return vmem_topk(all_vals, all_idx, k_glob,
+                                 interpret=interpret)
             top_vals, pos = jax.lax.top_k(all_vals, k_glob)
             return top_vals, jnp.take_along_axis(all_idx, pos, axis=1)
 

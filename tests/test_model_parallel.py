@@ -377,3 +377,33 @@ def test_tower_fused_eval_matches_full(data_dir, tmp_path, monkeypatch):
     for k in full_h.metrics():
         np.testing.assert_allclose(fused_h[k], full_h[k], rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_sharded_dot_topk_pallas_interpret_matches_xla():
+    """Round 5: the per-shard Pallas selection (blockwise_topk local top-k +
+    vmem_topk candidate merge) under shard_map must match the XLA path
+    bit-for-bit on the finite slots — interpret mode on the CPU mesh."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from skrx.parallel import sharded_dot_topk
+
+    mesh = make_mesh((len(jax.devices()) // 2, 2))
+    rng = np.random.default_rng(3)
+    b, n, d, k = 16, 520, 8, 10
+    uv = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    train = jnp.asarray(
+        np.sort(rng.integers(0, n, (b, 7)), axis=1).astype(np.int32))
+    v_x, i_x = sharded_dot_topk(mesh, uv, items, bias, k, n, train, {},
+                                use_pallas=False)
+    v_p, i_p = sharded_dot_topk(mesh, uv, items, bias, k, n, train, {},
+                                use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+    finite = np.isfinite(np.asarray(v_x))
+    np.testing.assert_array_equal(np.asarray(i_p)[finite],
+                                  np.asarray(i_x)[finite])
+    # masked train items must never appear
+    for r in range(b):
+        assert not set(np.asarray(i_p)[r][finite[r]]) & set(
+            np.asarray(train)[r].tolist())

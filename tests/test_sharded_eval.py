@@ -53,3 +53,41 @@ def test_profile_dir_writes_trace(tmp_path, monkeypatch):
                         early_stop=3))
     m.fit()
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_chunked_merge_pallas_under_mesh_matches_xla():
+    """Round 5: the chunked-eval merge under a mesh runs per-device inside
+    shard_map; forcing the Pallas kernels (interpret mode) must reproduce
+    the XLA path's metrics exactly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    import jax.numpy as jnp
+    from skrx.parallel import make_mesh
+
+    class _Dot:
+        num_items = 300
+
+        def __init__(self, u, i):
+            self.u, self.i = jnp.asarray(u), jnp.asarray(i)
+
+        def predict(self, users):
+            return self.u[np.asarray(users)] @ self.i.T
+
+        def predict_chunk(self, users, lo, hi):
+            return self.u[np.asarray(users)] @ self.i[lo:hi].T
+
+    rng = np.random.default_rng(5)
+    m = _Dot(rng.standard_normal((24, 8)).astype(np.float32),
+             rng.standard_normal((300, 8)).astype(np.float32))
+    train = {x: rng.permutation(300)[:12] for x in range(24)}
+    test = {x: rng.permutation(300)[:5] for x in range(24)}
+    mesh = make_mesh()
+    ev = RankingEvaluator(train, test, metric=("Precision", "Recall", "NDCG",
+                                               "MRR", "MAP"),
+                          top_k=(5, 10), batch_size=8, mesh=mesh)
+    r_xla = ev.evaluate_chunked(m, num_items=300, chunk_size=64)
+    ev._force_pallas_eval = True
+    ev._chunked_fns_cache = None
+    r_pal = ev.evaluate_chunked(m, num_items=300, chunk_size=64)
+    for k in r_xla.metrics():
+        np.testing.assert_array_equal(r_pal[k], r_xla[k])
