@@ -119,6 +119,8 @@ def main():
     ap.add_argument("--models", nargs="+", default=["mgcn", "caser",
                                                     "slmrec"])
     ap.add_argument("--seeds", type=int, default=6)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (extend an earlier run's JSONL)")
     ap.add_argument("--users", type=int, default=320)
     ap.add_argument("--items", type=int, default=420)
     ap.add_argument("--ratings", type=int, default=13000)
@@ -143,7 +145,7 @@ def main():
                                       args.items, args.ratings)
             path, ds = cf
         rows = []
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seed_start + args.seeds):
             _seed_everything(seed)
             t0 = time.time()
             ref, skrx = runner(path, ds, seed, epochs)

@@ -215,3 +215,53 @@ def test_tpe_branch_with_stubbed_hyperopt(data_dir, tmp_path, monkeypatch):
     assert np.isfinite(result["NDCG@10"])
     assert driver._best_trial_str is not None
     assert getattr(driver, "_best_params", None)
+
+
+def test_tpe_search_with_fake_hyperopt(data_dir, tmp_path, monkeypatch):
+    """The TPE branch (hyperopt.fmin path — previously dead code in this
+    image) executes end-to-end against the deterministic fake hyperopt
+    module: objective, early_stop_fn, per-trial TSV logging, and best-params
+    tracking all run, and the best result equals the best trial's fit
+    (VERDICT r4 #5; mirrors reference skrec/utils/hyperopt.py:73-123)."""
+    import glob
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    from tests import fake_hyperopt
+    monkeypatch.setitem(sys.modules, "hyperopt", fake_hyperopt)
+    from skrx.models.BPRMF import BPRMF, BPRMFConfig
+    from skrx.utils.hyperopt_driver import HyperOpt
+
+    class TinyConfig(BPRMFConfig):
+        @classmethod
+        def param_space(cls):
+            return {"lr": [0.05, 0.01], "reg": [0.0, 0.001]}  # 4 combos
+
+    cfg = RunConfig(recommender="BPRMF", data_dir=data_dir,
+                    file_column="UIRT", sep="\t", metric=("NDCG",),
+                    top_k=(10,), test_batch_size=16, seed=1, hyperopt=True)
+    driver = HyperOpt(cfg, BPRMF, TinyConfig,
+                      dict(epochs=2, early_stop=2, batch_size=128, n_dim=8))
+    assert driver._have_hyperopt, "fake hyperopt must enable the TPE branch"
+    result = driver.run()
+    assert np.isfinite(result["NDCG@10"]) and result["NDCG@10"] > 0
+    assert set(driver._best_params) == {"lr", "reg"}
+
+    logs = glob.glob(str(tmp_path / "log" / "*" / "BPRMF" /
+                         "hyperopt_*.log"))
+    assert len(logs) == 1
+    text = open(logs[0]).read()
+    assert "fmin max evals count:\t4" in text
+    # TSV header + one value row per trial
+    assert "tid" in text and "loss" in text
+    trial_log = text.split("Best params:")[0]
+    tids = [line.split()[0] for line in trial_log.splitlines()
+            if line.split() and line.split()[0].isdigit()]
+    assert tids == ["0", "1", "2", "3"]
+    assert "Best params:" in text and "Best results:" in text
+    # the echoed best-trial TSV row after "Best results:" carries the
+    # lowest-loss trial's tid
+    best_tid = text.split("Best results:")[1].strip().split()[0]
+    losses = [float(line.split()[3]) for line in trial_log.splitlines()
+              if line.split() and line.split()[0].isdigit()]
+    assert int(best_tid) == int(np.argmin(losses))
