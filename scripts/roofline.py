@@ -29,18 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # chip peaks: (bf16 matmul FLOP/s, f32 matmul FLOP/s, HBM bytes/s)
 # v5e: 197 bf16 TFLOP/s, ~0.5x for f32 via MXU passes, 819 GB/s HBM.
 # v4: 275 bf16 TFLOP/s, 1229 GB/s. Defaults fall back to v5e numbers.
-PEAKS = {
-    "TPU v5 lite": (197e12, 98.5e12, 819e9),
-    "TPU v5e": (197e12, 98.5e12, 819e9),
-    "TPU v4": (275e12, 137.5e12, 1229e9),
-    "TPU v6 lite": (918e12, 459e12, 1640e9),
-}
-
-
-def chip_peaks():
-    import jax
-    kind = jax.devices()[0].device_kind
-    return kind, PEAKS.get(kind, PEAKS["TPU v5 lite"])
+# Shared with bench.py so the driver JSON self-certifies with the same
+# accounting (skrx/utils/chip.py).
+from skrx.utils.chip import PEAKS, chip_peaks  # noqa: E402,F401
 
 
 def timeit(fn, n, materialize):
