@@ -125,12 +125,14 @@ class CML(CachedUserVecChunkMixin, EpochTrainedRecommender):
         self._train_step = train_step
         self._finalize_setup(run_config.seed)
 
+        score = CML._topk_score_fn
+
         @jax.jit
         def predict_fn(p, users):
-            ue = p["user_emb"][users]
-            dists = jnp.sqrt(jnp.sum(
-                (ue[:, None, :] - p["item_emb"][None, :, :]) ** 2, -1) + 1e-12)
-            return -dists
+            # SAME expanded-euclidean form as the chunked/TP eval paths —
+            # one formulation everywhere so rankings agree on near-ties
+            # (advisor r4)
+            return score(p["user_emb"][users], p["item_emb"], None)
 
         self._predict_fn = predict_fn
 
@@ -152,13 +154,11 @@ class CML(CachedUserVecChunkMixin, EpochTrainedRecommender):
         import jax.numpy as jnp
         d2 = (jnp.sum(uv * uv, -1)[:, None] - 2.0 * (uv @ items.T)
               + jnp.sum(items * items, -1)[None, :])
-        return -jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12) + bias[None, :]
+        s = -jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+        return s if bias is None else s + bias[None, :]
 
     def predict_chunk(self, users, item_lo: int, item_hi: int) -> jnp.ndarray:
         users = jnp.asarray(np.asarray(users, dtype=np.int32))
-        p = self.params
-        ue = p["user_emb"][users]
-        dists = jnp.sqrt(jnp.sum(
-            (ue[:, None, :] - p["item_emb"][None, item_lo:item_hi, :]) ** 2,
-            -1) + 1e-12)
-        return -dists
+        return self._topk_score_fn(self.params["user_emb"][users],
+                                   self.params["item_emb"][item_lo:item_hi],
+                                   None)

@@ -117,15 +117,16 @@ class TransRec(CachedUserVecChunkMixin, EpochTrainedRecommender):
             last_items[u] = seq[-1]
         self._last_items = jnp.asarray(last_items)
 
+        score = TransRec._topk_score_fn
+
         @jax.jit
         def predict_fn(p, users):
             translated = (p["user_emb"][users] + p["trans"]
                           + p["item_emb"][self._last_items[users]])
-            # -||t - e_i|| for the whole catalog: (B, 1, D) vs (N, D)
-            dists = jnp.sqrt(jnp.sum(
-                (translated[:, None, :] - p["item_emb"][None, :, :]) ** 2,
-                -1) + 1e-12)
-            return -dists + p["item_bias"][None, :]
+            # -||t - e_i|| for the whole catalog, via the SAME expanded
+            # form every other eval path uses — one formulation everywhere
+            # so full/chunked/TP rankings agree on near-ties (advisor r4)
+            return score(translated, p["item_emb"], p["item_bias"])
 
         self._predict_fn = predict_fn
 
@@ -149,8 +150,6 @@ class TransRec(CachedUserVecChunkMixin, EpochTrainedRecommender):
 
     def _score_user_chunk(self, uv, item_lo: int, item_hi: int):
         p = self.params
-        dists = jnp.sqrt(jnp.sum(
-            (uv[:, None, :] - p["item_emb"][None, item_lo:item_hi, :]) ** 2,
-            -1) + 1e-12)
-        return -dists + p["item_bias"][None, item_lo:item_hi]
+        return self._topk_score_fn(uv, p["item_emb"][item_lo:item_hi],
+                                   p["item_bias"][item_lo:item_hi])
 

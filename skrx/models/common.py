@@ -181,7 +181,14 @@ class ChunkedDotPredictMixin:
     score is ``user_vectors @ item_vectors.T (+ bias)``: enables
     RankingEvaluator.evaluate_chunked / huge catalogs without materializing
     (B, N). Subclasses implement ``_chunk_embeddings() -> (u_all, i_all)``
-    (and optionally ``_chunk_bias() -> (N,) or None``)."""
+    (and optionally ``_chunk_bias() -> (N,) or None``).
+
+    CONTRACT: ``_chunk_embeddings``/``_chunk_bias`` must return
+    IDENTITY-STABLE arrays between parameter updates (memoize derived
+    embeddings, as the graph family's ``_final_emb`` does) — downstream
+    caches key on ``id()`` of the returned arrays (e.g. the serving
+    packed-table cache, skrx/serve.py), so a model returning fresh arrays
+    per call silently repacks the full item table on every request."""
 
     def _chunk_embeddings(self):
         raise NotImplementedError

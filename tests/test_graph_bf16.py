@@ -67,6 +67,29 @@ MODELS = [
                   K=1, n_negs=4, ns="dens", pool="mean", warmup=10,
                   mess_dropout=False, edge_dropout=False, batch_size=256,
                   epochs=15, early_stop=15)),
+    # remaining propagate users (advisor r4: 'auto'->bf16 applied to them
+    # with the quality check recorded only for the three above)
+    ("SelfCF", dict(lr=0.01, embed_dim=16, n_layers=2, batch_size=256,
+                    epochs=10, early_stop=10)),
+    ("LightGCL", dict(lr=0.01, d=16, gnn_layer=2, svd_q=4, batch_size=256,
+                      epochs=10, early_stop=10)),
+    ("SGAT", dict(lr=0.01, reg=0.001, n_layers=2, n_seqs=4, n_next=2,
+                  embed_size=16, batch_size=256, epochs=8, early_stop=8)),
+]
+
+MM_MODELS = [
+    ("BM3", dict(lr=0.01, embed_dim=16, n_layers=1, batch_size=256,
+                 epochs=10, early_stop=10)),
+    ("SLMRec", dict(lr=0.01, rec_dim=16, layer_num=2, ssl_task="FAC",
+                    batch_size=256, epochs=10, early_stop=10)),
+    ("LATTICE", dict(lr=0.01, embed_dim=16, feat_embed_dim=16,
+                     weight_size=[16, 16], knn_k=5, batch_size=256,
+                     epochs=10, early_stop=10)),
+    ("FREEDOM", dict(lr=0.01, embed_dim=16, feat_dim=16, knn_k=5,
+                     n_ui_layers=2, dropout=0.5, batch_size=256, epochs=10,
+                     early_stop=10)),
+    ("MGCN", dict(lr=0.01, embed_dim=16, knn_k=5, batch_size=256,
+                  epochs=10, early_stop=10)),
 ]
 
 
@@ -95,11 +118,7 @@ def test_mxu_bf16_really_rounds(dataset):
     assert 1e-5 < rel < 2e-2, rel   # rounded, but only at bf16 level
 
 
-@pytest.mark.parametrize("name,hp", MODELS, ids=[m[0] for m in MODELS])
-def test_bf16_messages_quality_neutral(name, hp, dataset, tmp_path,
-                                       monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    path, _ = dataset
+def _assert_neutral(name, path, hp):
     f32 = _fit(name, path, hp, "segment")
     bf16 = _fit(name, path, hp, "mxu_bf16")
     for metric in ("NDCG@10", "Recall@10"):
@@ -108,3 +127,30 @@ def test_bf16_messages_quality_neutral(name, hp, dataset, tmp_path,
               f"({bf16[metric]:.5f} vs {f32[metric]:.5f})")
         assert BAND[0] <= ratio <= BAND[1], \
             (name, metric, ratio, bf16[metric], f32[metric])
+
+
+@pytest.mark.parametrize("name,hp", MODELS, ids=[m[0] for m in MODELS])
+def test_bf16_messages_quality_neutral(name, hp, dataset, tmp_path,
+                                       monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    path, _ = dataset
+    _assert_neutral(name, path, hp)
+
+
+@pytest.fixture(scope="module")
+def mm_dataset(tmp_path_factory):
+    from skrx.io import synthetic
+    root = tmp_path_factory.mktemp("bf16mm")
+    path = synthetic.make_dataset_dir(str(root), num_users=100,
+                                      num_items=160, num_ratings=3000,
+                                      seed=17, latent_dim=4,
+                                      latent_strength=8.0, with_mm=True,
+                                      img_dim=12, txt_dim=10)
+    return path
+
+
+@pytest.mark.parametrize("name,hp", MM_MODELS, ids=[m[0] for m in MM_MODELS])
+def test_bf16_messages_quality_neutral_mm(name, hp, mm_dataset, tmp_path,
+                                          monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    _assert_neutral(name, mm_dataset, hp)
