@@ -526,8 +526,12 @@ class RankingEvaluator:
 
             def run(uv_g, items_t, bias2, train_g, test_g, len_g,
                     weight_g):
-                def body(acc, inp):
-                    uv, tr, te, ln, wt = inp
+                # scan ONLY the per-page fused score+select; the tiny-op
+                # hits/metric tail batches across all pages afterwards
+                # (0.62 ms/page of fixed kernel overhead inside the scan —
+                # see ops.metrics.eval_score_matrix_device_paged, round 5)
+                def body(c, inp):
+                    uv, tr = inp
                     vals, idx = dot_topk(uv, None, None, k,
                                          mask_table=tr, interpret=interpret,
                                          packed=(items_t, bias2), n=n_items)
@@ -536,14 +540,17 @@ class RankingEvaluator:
                         fill = jnp.full((bs, k - idx.shape[1]), sentinel,
                                         jnp.int32)
                         idx = jnp.concatenate([idx, fill], axis=1)
-                    hits = hits_against_padded_truth(idx, te)
-                    per_user = ranking_metrics_from_hits(hits, ln, metrics)
-                    return acc + jnp.sum(per_user * wt[:, None, None],
-                                         axis=0), None
-                acc0 = jnp.zeros((len(metrics), k), jnp.float32)
-                return jax.lax.scan(
-                    body, acc0, (uv_g, train_g, test_g, len_g,
-                                 weight_g))[0]
+                    return c, idx
+
+                idx_g = jax.lax.scan(body, 0, (uv_g, train_g))[1]
+                p = idx_g.shape[0]
+                hits = hits_against_padded_truth(
+                    idx_g.reshape(p * bs, k), test_g.reshape(p * bs, -1))
+                per_user = ranking_metrics_from_hits(
+                    hits, len_g.reshape(p * bs), metrics)
+                return jnp.sum(
+                    per_user * weight_g.reshape(p * bs)[:, None, None],
+                    axis=0)
 
             runner = jax.jit(run)
             cache[key] = runner

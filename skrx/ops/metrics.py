@@ -208,9 +208,19 @@ def eval_score_matrix_device_paged(scores_g: jnp.ndarray,
 
     scores_g: (G, B, N); train_g/test_g: (G, B, L*); test_len_g: (G, B).
     Returns (G, B, n_metrics, top_k).
+
+    Round-5 structure: no scan at all — the pages FLATTEN into one
+    (G*B, N) batch through the one kernel call (blockwise_topk tiles the
+    batch dim at block_b rows internally, so a bigger batch is just more
+    grid programs), and the hits + metric tail runs once over the
+    flattened rows. The previous lax.scan paid a dynamic-slice COPY of
+    each 168 MB score page per iteration plus ~0.6 ms of fixed tiny-op
+    kernel overhead per page for the tail; flattening removes both
+    (numerics identical: every row is independent).
     """
-    def body(carry, inp):
-        s, tr, te, tl = inp
-        return carry, eval_score_matrix_device(s, tr, te, tl, metric_ids,
-                                               top_k, use_pallas)
-    return lax.scan(body, 0, (scores_g, train_g, test_g, test_len_g))[1]
+    g, b, n = scores_g.shape
+    out = eval_score_matrix_device(
+        scores_g.reshape(g * b, n), train_g.reshape(g * b, -1),
+        test_g.reshape(g * b, -1), test_len_g.reshape(g * b), metric_ids,
+        top_k, use_pallas)
+    return out.reshape(g, b, len(metric_ids), top_k)

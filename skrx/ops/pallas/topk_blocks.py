@@ -59,28 +59,27 @@ relayout (B, W, 32) -> (B, W*32) casts, and 3-D blocks tile only the last
 two dims, costing ~2.4x). Both passes apply the mask at block load; the
 cost is data-independent.
 
-MEASURED (TPU v5e, k=50, block_n=4096, block_b=256; scalar-dependency
-chaining inside one jit, because a single dispatch through the axon tunnel
-costs ~1ms and per-dispatch timings of sub-ms kernels measure the TUNNEL —
-and the chain dependency MUST round-trip through float: integer x*0 gets
-constant-folded and the chain DCEd, see scripts/bench_topk_stream.py):
-fused mask+top-k at (1024, 40960) runs in ~2.0 ms true device time —
-~166 GB/s effective over its two 168 MB passes, 80-90% of the pure-load
-streaming rate measured in the SAME session (172-237 GB/s; the shared chip
-swings ~20% between sessions, so ratios are the stable statement — the
-remaining gap is the tau/merge stages, ~0.7 ms of narrow-operand VPU
-work). RETRACTION (round 4, VERDICT r3 #3): the round-3 claim of "1.20 ms
-= 279 GB/s, above the 240 GB/s ceiling" was a metrology artifact of the
-folded-int chain above — a kernel cannot beat a pure load; the corrected
-number restores a self-consistent roofline (read+write mixes reach
-~306 GB/s on this chip, so the one-directional ~200-240 GB/s read ceiling
-is a DMA-stream property, not total HBM bandwidth). Round-2 shape history
-(dispatch-inclusive timings): 12.9 ms XLA mask+lax.top_k -> 4.4 ms
-(contiguous-sub-block threshold pass, one-element extraction) -> 3.5 ms
-(fold-tree threshold pass) -> this. At (64, 1M) masked: 4.6 ms
-dispatch-inclusive vs 25.2 ms XLA. End-to-end evaluator throughput is
-captured dispatch-inclusive by bench.py's paged eval (BENCH_r*.json:
-395k users/s at 16x(1024, 40960), 4 metrics @<=50, 4.4x the XLA path).
+MEASURED (round-5 metrology — differenced multi-rep timings; see
+bench.py measure_hbm_stream for why every earlier host-timed number
+carried tunnel-RTT pollution): fused mask+top-k costs a stable
+~1.5-1.65 ms per 1024x(40960) rows at batch >= 2048 (per-row cost flat
+in batch) — ~215 GB/s over its two 168 MB passes. ROUND-5 CEILING
+CORRECTION: the true same-session streaming-reduce rate is ~743 GB/s
+(in-dispatch fori_loop, 0.3% repeatable), NOT the 172-237 GB/s that
+round 4's chained probes reported (those were RTT-polluted in the other
+direction), so the kernel runs at ~29% of the real stream ceiling — it
+is extraction/VPU-bound with genuine headroom, while still 4.8x the XLA
+mask+lax.top_k path on identical inputs. RETRACTION (round 4, VERDICT
+r3 #3): the round-3 claim of "1.20 ms = 279 GB/s" was a folded-int chain
+artifact. Round-2 shape history (dispatch-inclusive timings): 12.9 ms
+XLA mask+lax.top_k -> 4.4 ms (contiguous-sub-block threshold pass,
+one-element extraction) -> 3.5 ms (fold-tree threshold pass) -> this.
+At (64, 1M) masked: 4.6 ms dispatch-inclusive vs 25.2 ms XLA.
+End-to-end evaluator throughput is captured dispatch-inclusive by
+bench.py's paged eval, which since round 5 FLATTENS its pages into one
+(G*B, N) kernel call (the lax.scan alternative paid a 168 MB
+dynamic-slice copy + ~0.6 ms of fixed tiny-op tail overhead per page:
+534k -> 698k users/s device-true at 16x(1024, 40960), 4 metrics @<=50).
 
 COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
 VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB
