@@ -506,24 +506,30 @@ def pack_mask(mask_table, b: int, n: int, n_blocks: int, block_n: int):
     """Bit-pack a (B, L) exclusion table into per-block uint32 words:
     word lane c % W of block j holds, in bit c // W, the mask for block
     column c (W = block_n/32; see the module header for why this layout).
-    Out-of-range and duplicate table entries are handled."""
+    Out-of-range and duplicate table entries are handled.
+
+    Round 5: dense unrolled-OR instead of an XLA scatter-add — the TPU
+    scatter serialized its updates (~19 ns/update: 1.0/5.2/17.2 ms at
+    L=64/256/1024, B=2048) and round 4's stage profile showed the packing
+    DOMINATING the whole masked top-k kernel. One (B, W) bitwise-or pass
+    per table column fuses into a few streaming passes (0.8/1.9/6.6 ms
+    same shapes, bit-identical output); OR makes duplicate ids harmless,
+    so the old per-row dedup sort is gone too."""
     w32 = block_n // _BITS
-    rows = jnp.broadcast_to(jnp.arange(b)[:, None], mask_table.shape)
-    # bit-add == bit-or only for unique ids: sort per row and keep first
-    # occurrences so duplicate table entries (legal for mask_items)
-    # cannot carry into neighboring bits
-    sorted_ids = jnp.sort(jnp.where((mask_table >= 0) & (mask_table < n),
-                                    mask_table, n), axis=1)
-    first = jnp.concatenate(
-        [jnp.ones((b, 1), bool),
-         sorted_ids[:, 1:] != sorted_ids[:, :-1]], axis=1)
-    valid = (sorted_ids < n) & first
-    ids = jnp.where(valid, sorted_ids, 0)
+    total_w = n_blocks * w32
+    valid = (mask_table >= 0) & (mask_table < n)
+    ids = jnp.where(valid, mask_table, 0)
     c = ids % block_n
-    word = (ids // block_n) * w32 + c % w32
-    bit = (c // w32).astype(jnp.uint32)
-    return jnp.zeros((b, n_blocks * w32), jnp.uint32).at[rows, word].add(
-        jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0)), mode="drop")
+    # invalid entries get word index total_w: matches no lane
+    word = jnp.where(valid, (ids // block_n) * w32 + c % w32,
+                     total_w).astype(jnp.int32)
+    bitval = jnp.left_shift(jnp.uint32(1), (c // w32).astype(jnp.uint32))
+    lanes = jnp.arange(total_w, dtype=jnp.int32)[None, :]
+    acc = jnp.zeros((b, total_w), jnp.uint32)
+    for j in range(mask_table.shape[1]):
+        acc = acc | jnp.where(word[:, j:j + 1] == lanes,
+                              bitval[:, j:j + 1], jnp.uint32(0))
+    return acc
 
 
 def _fold_submaxes(bm: jnp.ndarray, max_w: int) -> jnp.ndarray:
