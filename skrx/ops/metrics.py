@@ -54,11 +54,15 @@ def mask_items(scores: jnp.ndarray, item_table: jnp.ndarray,
     return scores.at[rows, item_table].set(fill_value, mode="drop")
 
 
-# catalogs at/beyond this stream through the Pallas threshold-pruned kernel:
-# measured wins from ~32k items (1.8x at (1024, 41k) masked, 5.8x at
-# (64, 1M) — topk_blocks.py header); below it lax.top_k is already cheap
-# and the prune threshold loses its bite
-_BLOCKWISE_TOPK_MIN_N = 32768
+# catalogs at/beyond this stream through the Pallas threshold-pruned
+# kernel. Round 5 (after the dense-OR pack_mask removed the scatter that
+# used to dominate small shapes): the kernel wins from ~4k items at real
+# batch sizes — measured 4.5-15x over masked lax.top_k at N=4096-16384,
+# B=512-8192, and ~neutral (0.99-1.9x) only at B=64 tiny batches; the old
+# 32768 gate was calibrated against the scatter-dominated kernel. The
+# structural guard below (n/128 >= 2k) still keeps genuinely tiny
+# catalogs on lax.top_k.
+_BLOCKWISE_TOPK_MIN_N = 4096
 
 
 def _pad_rank_sentinel(idx: jnp.ndarray, k: int, num_items: int):

@@ -45,13 +45,14 @@ batches fit VMEM: (1024, 4096) f32 blocks would be 16 MB — past the ~16 MB
 VMEM budget once double-buffered — where (256, 4096) is 4 MB.
 
 **Fused train-item masking via a bit-packed mask.** ``mask_table`` (B, L)
-fuses the evaluator's -inf masking into the selection. Materializing a
-masked f32 copy — or even a (B, N) int8 bitmap — pays an XLA scatter whose
-cost scales with the scattered ARRAY size on this chip (~6ms for a (64, 1M)
-int8 target vs ~0.03ms for a (64, 128) one at the same update count).
-Packing 32 items per uint32 word shrinks the scatter target 32x; since the
-packer dedupes ids per row, bit-add == bit-or, so a plain add-scatter builds
-the bitmap. The bit layout matches ``pltpu.repeat``'s tile semantics: with
+fuses the evaluator's -inf masking into the selection (materializing a
+masked f32 copy would pay a scatter whose cost scales with the target
+array size). The packed words are built by a dense unrolled bitwise-OR —
+one (B, W) pass per table column, which XLA fuses into a few streaming
+passes — NOT a scatter: the TPU scatter-add serializes its updates at
+~19 ns each and DOMINATED the whole kernel until round 5 (1.0/5.2/17.2 ms
+at L=64/256/1024, B=2048, vs 0.8/1.9/6.6 dense-OR). The bit layout
+matches ``pltpu.repeat``'s tile semantics: with
 W = block_n/32 words per block, word lane ``c % W`` holds, in bit
 ``c // W``, the mask for block column ``c`` — so unpacking is ONE lane-tile
 repeat plus a shift by ``col_ids >> log2(W)``, entirely 2-D (Mosaic cannot
@@ -61,15 +62,16 @@ cost is data-independent.
 
 MEASURED (round-5 metrology — differenced multi-rep timings; see
 bench.py measure_hbm_stream for why every earlier host-timed number
-carried tunnel-RTT pollution): fused mask+top-k costs a stable
-~1.5-1.65 ms per 1024x(40960) rows at batch >= 2048 (per-row cost flat
-in batch) — ~215 GB/s over its two 168 MB passes. ROUND-5 CEILING
-CORRECTION: the true same-session streaming-reduce rate is ~743 GB/s
-(in-dispatch fori_loop, 0.3% repeatable), NOT the 172-237 GB/s that
-round 4's chained probes reported (those were RTT-polluted in the other
-direction), so the kernel runs at ~29% of the real stream ceiling — it
-is extraction/VPU-bound with genuine headroom, while still 4.8x the XLA
-mask+lax.top_k path on identical inputs. RETRACTION (round 4, VERDICT
+carried tunnel-RTT pollution): after the dense-OR pack fix, fused
+mask+top-k costs ~0.7-1.1 ms per 1024x(40960) rows at batch >= 2048
+(chip-load-dependent) — ~310-480 GB/s over its two 168 MB passes, i.e.
+~40-65% of the TRUE same-session streaming-reduce rate of ~743 GB/s
+(in-dispatch fori_loop, 0.3% repeatable; round 4's '172-237 GB/s
+ceiling' was RTT-polluted the other way). With the scatter gone the
+Pallas-vs-XLA break-even moved down to ~4k items (4.5-15x over masked
+lax.top_k at N=4096-16384, B=512-8192 — skrx/ops/metrics.py gate), and
+the bench-visible paged eval reached 655k users/s dispatch-inclusive
+(6.97x XLA). RETRACTION (round 4, VERDICT
 r3 #3): the round-3 claim of "1.20 ms = 279 GB/s" was a folded-int chain
 artifact. Round-2 shape history (dispatch-inclusive timings): 12.9 ms
 XLA mask+lax.top_k -> 4.4 ms (contiguous-sub-block threshold pass,
@@ -181,7 +183,16 @@ def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
         scratch_shapes=[pltpu.VMEM((block_b, w), vals.dtype)],
         interpret=interpret,
     )(vals, idx.astype(jnp.int32))
-    return out_v[:b, :k], out_i[:b, :k]
+    out_v, out_i = out_v[:b, :k], out_i[:b, :k]
+    # -inf output slots must NOT leak real candidate ids: the mask-by-
+    # (value, id) selection re-surfaces ALREADY-PICKED entries (their value
+    # is set to -inf but the id stays), so a row with fewer than k finite
+    # candidates would emit duplicates of its picked ids in the filler
+    # ranks — a downstream hit-check would then double-count real items
+    # (caught on-chip by test_chunked_eval_sparse_user_never_falsely_hits_
+    # item_zero: Recall 4.0). Emit an out-of-range sentinel instead.
+    return out_v, jnp.where(jnp.isneginf(out_v),
+                            jnp.iinfo(jnp.int32).max // 2, out_i)
 
 
 _MERGE_CHUNK_W = 8192
@@ -309,7 +320,9 @@ def pruned_merge(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
                         pltpu.VMEM((block_b, cw), jnp.int32)],
         interpret=interpret,
     )(vals, idx.astype(jnp.int32), tau2)
-    return out_v[:b, :k], out_i[:b, :k]
+    out_v, out_i = out_v[:b, :k], out_i[:b, :k]
+    # same -inf-slot id guard as vmem_topk (picked ids re-surface)
+    return out_v, jnp.where(jnp.isneginf(out_v), sentinel, out_i)
 
 
 def merge_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
