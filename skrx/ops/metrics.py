@@ -186,10 +186,29 @@ def eval_score_matrix_device(scores: jnp.ndarray,
         False when the operands are sharded over a multi-device mesh.
     Returns (B, n_metrics, top_k) float32 — same numbers the reference's
     ``eval_score_matrix`` produces as (B, n_metrics*top_k).
+
+    Big-catalog TPU route (round 5): the sorted top-k ids are never needed
+    for metrics — only the rank positions of the few test items — so the
+    Pallas path counts each test item's exact rank over the candidate set
+    (``masked_topk_ranks``) and one-hots the ranks into the hit matrix,
+    skipping the merge kernel entirely (4.1 ms of a 16.3 ms eval call at
+    (16384, 40960) k=50). Hit semantics are identical to [top-k ids ->
+    id-vs-truth compare] including tie-breaking and the -inf/masked
+    never-hit contract (see the kernel docstring's exactness argument).
     """
-    vals_idx = topk_scores_and_indices(scores, top_k, mask_table=train_table,
-                                       allow_pallas=use_pallas)
-    hits = hits_against_padded_truth(vals_idx[1], test_table)
+    n = scores.shape[1]
+    if use_pallas and _use_blockwise(n, top_k):
+        from .pallas import masked_topk_ranks
+        ranks = masked_topk_ranks(scores, top_k, test_table,
+                                  mask_table=train_table)
+        hits = jnp.any(
+            ranks[:, :, None] == jnp.arange(top_k, dtype=jnp.int32)[None,
+                                                                    None, :],
+            axis=1).astype(jnp.float32)
+    else:
+        vals_idx = topk_scores_and_indices(
+            scores, top_k, mask_table=train_table, allow_pallas=use_pallas)
+        hits = hits_against_padded_truth(vals_idx[1], test_table)
     return ranking_metrics_from_hits(hits, test_len, metric_ids)
 
 

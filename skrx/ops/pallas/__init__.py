@@ -4,9 +4,11 @@ from .segsum_mxu import (MXUGraph, WeightedMXUGraph,
                          propagate_mxu_weighted, transpose_mxu_graph,
                          weighted_mxu_graph_from_coo)
 from .dot_topk import dot_topk
-from .topk_blocks import blockwise_topk, vmem_topk
+from .topk_blocks import (blockwise_candidates, blockwise_topk,
+                          kth_largest, masked_topk_ranks, vmem_topk)
 
-__all__ = ["blockwise_topk", "vmem_topk", "dot_topk", "MXUGraph", "mxu_graph_from_coo",
+__all__ = ["blockwise_topk", "blockwise_candidates", "masked_topk_ranks",
+           "kth_largest", "vmem_topk", "dot_topk", "MXUGraph", "mxu_graph_from_coo",
            "mxu_graph_from_sp_matrix", "propagate_mxu",
            "transpose_mxu_graph", "WeightedMXUGraph",
            "weighted_mxu_graph_from_coo", "propagate_mxu_weighted"]

@@ -227,14 +227,14 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
     )(*operands)[:b]
 
     if n_sub >= k:
-        from .topk_blocks import _TAU_MAX_W, _fold_submaxes
+        from .topk_blocks import _TAU_MAX_W, _fold_submaxes, kth_largest
         bmf = _fold_submaxes(bm, max(_TAU_MAX_W, 2 * (-(-k // 128) * 128)))
-        iota = jnp.broadcast_to(
-            jnp.arange(bmf.shape[1], dtype=jnp.int32)[None, :], bmf.shape)
-        tau = vmem_topk(bmf, iota, k, interpret=interpret)[0][:, k - 1:k]
+        # k-th largest VALUE by bitwise bisection — ~4x less VPU work than
+        # the k-argmax-round vmem_topk, identical tau (round 5)
+        tau = kth_largest(bmf, k, interpret=interpret)
     else:
-        tau = jnp.full((b, 1), -jnp.inf, jnp.float32)
-    tau = jnp.broadcast_to(tau, (b, 128))
+        tau = jnp.broadcast_to(jnp.full((b, 1), -jnp.inf, jnp.float32),
+                               (b, 128))
 
     in_specs, operands = specs()
     in_specs.append(pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)))

@@ -83,6 +83,21 @@ bench.py's paged eval, which since round 5 FLATTENS its pages into one
 dynamic-slice copy + ~0.6 ms of fixed tiny-op tail overhead per page:
 534k -> 698k users/s device-true at 16x(1024, 40960), 4 metrics @<=50).
 
+ROUND-5 STAGE PROFILE + the merge-free eval path
+(scripts/bench_topk_stages.py, B=16384 N=40960 K=50 L=64 T=16, chained
+in-dispatch, same session): pack 1.1 / submax 3.5 (775 GB/s — AT the
+743 GB/s measured stream rate) / tau 2.3->0.6 (``kth_largest`` bitwise
+bisection replaced vmem_topk's k argmax rounds — identical value) /
+extract 4.7 (~690 GB/s over its read+candidate-write bytes — also
+bandwidth-bound now) / eval tail 5.0->1.4 (``masked_topk_ranks`` counts
+each test item's exact lexicographic rank over the candidates in a VMEM
+Pallas kernel and skips the sorted merge entirely; the XLA broadcast-
+compare-reduce version of the same count cost 2.4). Evaluation total
+14.7 -> 11.25 ms = 1.46M users/s device-true (+30%); the sorted-ids
+``blockwise_topk`` (predict/serve) total 16.3 -> 14.6 ms from the tau
+win. Remaining structural headroom: the second full read (fuse
+threshold+extraction into one pass with a rescue pass — see NEXT.md #0).
+
 COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
 VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB
 loop-carried value sends Mosaic's register allocator into minutes of
@@ -96,7 +111,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["blockwise_topk", "vmem_topk"]
+__all__ = ["blockwise_topk", "blockwise_candidates", "masked_topk_ranks",
+           "kth_largest", "vmem_topk"]
 
 _BITS = 32
 
@@ -193,6 +209,73 @@ def vmem_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int,
     # item_zero: Recall 4.0). Emit an out-of-range sentinel instead.
     return out_v, jnp.where(jnp.isneginf(out_v),
                             jnp.iinfo(jnp.int32).max // 2, out_i)
+
+
+def _kth_largest_kernel(k, vals_ref, out_ref):
+    """Exact per-row k-th largest VALUE of a VMEM-resident (block_b, W)
+    block by 32-round bitwise bisection over the monotone float->uint32
+    order embedding — no ids, no sorting, no extraction.
+
+    Round-5 profile (scripts/bench_topk_stages.py, B=16384 N=40960 K=50):
+    the tau selection was 2.2 ms of the 16.3 ms eval — ``vmem_topk``'s k
+    argmax rounds cost k*(~6 ops)*W per row where only the k-th VALUE is
+    needed. Bisection refines the answer one bit per round from the top:
+    candidate = cur | bit; count rows' elements >= candidate; keep the bit
+    iff count >= k. After 32 rounds cur IS the k-th order statistic in the
+    sortable domain (max s with count(>= s) >= k), i.e. bit-identical to
+    vmem_topk's k-th output — 32*(2 ops)*W per row, ~4x less VPU work.
+
+    Order embedding (all-int32, signed — Mosaic vector compares are
+    signed): f(i) = i XOR ((i >> 31) & 0x7FFFFFFF) maps IEEE754 bits to a
+    signed-int total order matching the float order (-inf lowest; the
+    arithmetic shift turns negative floats' magnitude order around while
+    leaving the sign bit, so all negatives stay below all positives). f is
+    an involution, so the same map recovers the float at the end. The sign
+    bit is bisected first with its inverted meaning (answer >= 0 iff
+    count(s >= 0) >= k); bits 30..0 then follow the plain descending
+    construction, which is monotone in two's complement for either sign.
+    NaNs must not appear (scores are finite or -inf by construction).
+    """
+    v = vals_ref[...]
+    i = jax.lax.bitcast_convert_type(v, jnp.int32)
+    s = i ^ (jax.lax.shift_right_arithmetic(i, 31)
+             & jnp.int32(0x7FFFFFFF))
+    cnt0 = jnp.sum((s >= 0).astype(jnp.int32), axis=1)
+    cur = jnp.where(cnt0 >= k, jnp.int32(0), jnp.int32(-2147483648))
+    for bit in range(30, -1, -1):
+        cand = cur | jnp.int32(1 << bit)
+        cnt = jnp.sum((s >= cand[:, None]).astype(jnp.int32), axis=1)
+        cur = jnp.where(cnt >= k, cand, cur)
+    back = cur ^ (jax.lax.shift_right_arithmetic(cur, 31)
+                  & jnp.int32(0x7FFFFFFF))
+    tau = jax.lax.bitcast_convert_type(back, jnp.float32)
+    out_ref[...] = jnp.broadcast_to(tau[:, None], out_ref.shape)
+
+
+def kth_largest(vals: jnp.ndarray, k: int, block_b: int = 256,
+                interpret: bool = False) -> jnp.ndarray:
+    """Exact per-row k-th largest value of a (B, W) f32 matrix -> (B, 128)
+    lane-broadcast column (the tau operand layout the selection kernels
+    consume). Requires k <= W and no NaNs; -inf entries are ordered lowest
+    (a row with < k finite entries yields -inf, i.e. no pruning)."""
+    b, w = vals.shape
+    assert k <= w, (k, w)
+    assert vals.dtype == jnp.float32, vals.dtype
+    pad_w = -(-w // 128) * 128 - w
+    if pad_w:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_w)), constant_values=-jnp.inf)
+        w += pad_w
+    block_b = max(8, min(block_b, b, (1 << 21) // (w * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    out = pl.pallas_call(
+        functools.partial(_kth_largest_kernel, k),
+        grid=(nb_b,),
+        in_specs=[pl.BlockSpec((block_b, w), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, 128), jnp.float32),
+        interpret=interpret,
+    )(vals)
+    return out[:b]
 
 
 _MERGE_CHUNK_W = 8192
@@ -568,29 +651,18 @@ def _fold_submaxes(bm: jnp.ndarray, max_w: int) -> jnp.ndarray:
 _TAU_MAX_W = 4096
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "block_b", "interpret"))
-def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
-                   block_b: int = 256,
-                   interpret: bool = False, mask_table: jnp.ndarray = None):
-    """Exact (values, indices) top-k per row of ``scores`` (B, N).
-
-    ``mask_table`` (B, L) int32 excludes ``scores[b, mask_table[b, :]]``
-    from the result, fused into the selection (entries outside [0, N) are
-    padding and ignored; duplicate entries are allowed) — the evaluator's
-    train-item -inf masking without materializing a masked copy. Masked
-    slots beyond the number of surviving items carry -inf values with
-    sentinel (out-of-range) indices. ``block_n`` must be 128 * a power of
-    two (for the fold-tree threshold pass), and a multiple of 4096 when a
-    mask is used on real TPU (so the packed words stay 128-lane aligned);
-    rows are processed ``block_b`` at a time. N is padded up to a block
-    multiple with -inf.
-
-    The threshold prunes only when there are >= k stride-128 column groups
-    (n_sub = n_blocks*128 >= k); below that tau degrades toward -inf and
-    extraction pays up to k argmax rounds per block — route small catalogs
-    to plain ``lax.top_k`` instead (see skrx/ops/metrics.py gating).
-    """
+def blockwise_candidates(scores: jnp.ndarray, k: int, block_n: int = 4096,
+                         block_b: int = 256, interpret: bool = False,
+                         mask_table: jnp.ndarray = None):
+    """Threshold + extraction passes of :func:`blockwise_topk` WITHOUT the
+    final merge: returns ``(cand_vals, cand_ids, tau)`` where the
+    (B, n_blocks*cand_w) candidate set is a superset of the row's top-k
+    (each matrix element appears at most once; non-candidate lanes carry
+    values < tau, or -inf with sentinel ids) and ``tau`` (B, 128) is the
+    lane-broadcast k-th-largest-group-max lower bound on the k-th largest
+    element. Callers that don't need sorted ids (the evaluator's
+    rank-counting path, :func:`masked_topk_ranks`) skip the merge
+    entirely; ``blockwise_topk`` = candidates + ``merge_topk``."""
     assert block_n % 128 == 0 and (block_n // 128) & (block_n // 128 - 1) \
         == 0, "block_n must be 128 * a power of two"
     if mask_table is not None and not interpret:
@@ -646,18 +718,26 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
 
     # tau = k-th largest (masked) group max: a lower bound on the k-th
     # largest (masked) element whenever n_sub >= k; degenerate small-N case
-    # uses -inf, i.e. no pruning. Selected by the VMEM top-k kernel —
-    # lax.top_k's fixed ~2.7us/row would cost more than the streaming pass.
+    # uses -inf, i.e. no pruning. Selected by bitwise bisection
+    # (:func:`kth_largest`, ~4x less VPU work than the k-argmax-round
+    # vmem_topk it replaced in round 5 — 2.2 ms of a 16.3 ms eval call at
+    # (16384, 40960) k=50; identical value) — lax.top_k's fixed ~2.7us/row
+    # would cost more than the streaming pass.
     if n_sub >= k:
         # folding halves the width, so keep >= 2*k lanes pre-fold to
         # guarantee the folded width stays >= k
         bmf = _fold_submaxes(bm, max(_TAU_MAX_W, 2 * (-(-k // 128) * 128)))
-        iota = jnp.broadcast_to(
-            jnp.arange(bmf.shape[1], dtype=jnp.int32)[None, :], bmf.shape)
-        tau = vmem_topk(bmf, iota, k, interpret=interpret)[0][:, k - 1:k]
+        if bmf.dtype == jnp.float32:
+            tau = kth_largest(bmf, k, interpret=interpret)
+        else:
+            iota = jnp.broadcast_to(
+                jnp.arange(bmf.shape[1], dtype=jnp.int32)[None, :], bmf.shape)
+            tau = jnp.broadcast_to(
+                vmem_topk(bmf, iota, k, interpret=interpret)[0][:, k - 1:k],
+                (b, 128))
     else:
-        tau = jnp.full((b, 1), -jnp.inf, scores.dtype)
-    tau = jnp.broadcast_to(tau, (b, 128))  # lane-aligned VMEM operand
+        tau = jnp.broadcast_to(jnp.full((b, 1), -jnp.inf, scores.dtype),
+                               (b, 128))
 
     in_specs, operands = specs()
     in_specs.append(pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)))
@@ -685,8 +765,34 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
         scratch_shapes=[pltpu.VMEM((block_b, block_n), scores.dtype)],
         interpret=interpret,
     )(*operands)
-    vals, idx = vals[:b], idx[:b]
+    return vals[:b], idx[:b], tau
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_n", "block_b", "interpret"))
+def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
+                   block_b: int = 256,
+                   interpret: bool = False, mask_table: jnp.ndarray = None):
+    """Exact (values, indices) top-k per row of ``scores`` (B, N).
+
+    ``mask_table`` (B, L) int32 excludes ``scores[b, mask_table[b, :]]``
+    from the result, fused into the selection (entries outside [0, N) are
+    padding and ignored; duplicate entries are allowed) — the evaluator's
+    train-item -inf masking without materializing a masked copy. Masked
+    slots beyond the number of surviving items carry -inf values with
+    sentinel (out-of-range) indices. ``block_n`` must be 128 * a power of
+    two (for the fold-tree threshold pass), and a multiple of 4096 when a
+    mask is used on real TPU (so the packed words stay 128-lane aligned);
+    rows are processed ``block_b`` at a time. N is padded up to a block
+    multiple with -inf.
+
+    The threshold prunes only when there are >= k stride-128 column groups
+    (n_sub = n_blocks*128 >= k); below that tau degrades toward -inf and
+    extraction pays up to k argmax rounds per block — route small catalogs
+    to plain ``lax.top_k`` instead (see skrx/ops/metrics.py gating).
+    """
+    vals, idx, tau = blockwise_candidates(scores, k, block_n, block_b,
+                                          interpret, mask_table)
     # final merge over the candidate set via the (width-chunked, tau-
     # pruned) VMEM top-k kernel. Ties break toward the lower global index
     # — identical to merging by candidate position (blocks are emitted
@@ -694,3 +800,108 @@ def blockwise_topk(scores: jnp.ndarray, k: int, block_n: int = 4096,
     # asc)), which is lax.top_k's rule.
     k_out = min(k, vals.shape[1])
     return merge_topk(vals, idx, k_out, tau=tau[:, 0], interpret=interpret)
+
+
+def _rank_count_kernel(t_count, vals_ref, idx_ref, st_ref, tid_ref,
+                       out_ref):
+    """Per-row count of candidates lexicographically above each of the
+    first ``t_count`` (score, id) probes — the rank-counting tail of
+    :func:`masked_topk_ranks` with the (block_b, W) candidate block VMEM-
+    resident. One static round per probe: broadcast the probe's score/id
+    columns over the candidate width, compare, reduce. Replaces the XLA
+    (B, W, T) broadcast-compare-reduce which paid ~3x in materialized
+    broadcasts (measured 2.4 ms -> target <1 ms of a 12 ms eval call at
+    B=16384, W=3840, T=16)."""
+    v = vals_ref[...]
+    ids = idx_ref[...]
+    bsz = v.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, 128), 1)
+    out = jnp.zeros((bsz, 128), jnp.int32)
+    for t in range(t_count):
+        s = st_ref[:, t:t + 1]
+        ti = tid_ref[:, t:t + 1]
+        above = (v > s) | ((v == s) & (ids < ti))
+        cnt = jnp.sum(above.astype(jnp.int32), axis=1)
+        out = jnp.where(lanes == t, cnt[:, None], out)
+    out_ref[...] = out
+
+
+def _rank_counts(vals: jnp.ndarray, idx: jnp.ndarray, s_t: jnp.ndarray,
+                 t_ids: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """(B, T) int32 lexicographic-rank counts of T probes against a (B, W)
+    candidate set (see :func:`_rank_count_kernel`); T must be <= 128."""
+    b, w = vals.shape
+    t = s_t.shape[1]
+    assert t <= 128, t
+    pad_w = -(-w // 128) * 128 - w
+    if pad_w:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_w)),
+                       constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad_w)),
+                      constant_values=jnp.iinfo(jnp.int32).max // 2)
+        w += pad_w
+    st = jnp.pad(s_t, ((0, 0), (0, 128 - t)))
+    ti = jnp.pad(t_ids, ((0, 0), (0, 128 - t)))
+    block_b = max(8, min(256, b, (1 << 21) // (w * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    out = pl.pallas_call(
+        functools.partial(_rank_count_kernel, t),
+        grid=(nb_b,),
+        in_specs=[pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, 128), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb_b * block_b, 128), jnp.int32),
+        interpret=interpret,
+    )(vals, idx.astype(jnp.int32), st, ti.astype(jnp.int32))
+    return out[:b, :t]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_n", "block_b", "interpret"))
+def masked_topk_ranks(scores: jnp.ndarray, k: int,
+                      test_table: jnp.ndarray,
+                      mask_table: jnp.ndarray = None,
+                      block_n: int = 4096, block_b: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, T) int32 rank of each ``test_table`` item in the row's masked
+    descending-score ranking — exact wherever the rank is < k, and
+    guaranteed >= k otherwise (clamp semantics; the ranking evaluator only
+    consumes ranks < k). Replaces [merge to sorted top-k ids -> id-vs-truth
+    hit compare] for evaluation: the merge was 4.1 ms of a 16.3 ms eval
+    call at (16384, 40960) k=50 (round-5 stage profile) and its sorted ids
+    are never needed — only WHERE the few test items landed.
+
+    rank(t) = #{unmasked i: s_i > s_t or (s_i == s_t and i < t)}, counted
+    over the candidate set of :func:`blockwise_candidates`. Exactness:
+    every element above a rank-<k test item has global rank <= k, and any
+    element of global rank <= k is emitted as a candidate (the
+    blockwise_topk exactness argument); candidates are unique per element,
+    and sub-tau garbage lanes can never count (garbage < tau <= s_t for
+    any test item with rank < k, value-strictly). When the true rank is
+    >= k the count still includes the full emitted top-k, all of which
+    rank above t, so the result stays >= k. Out-of-range, masked, and
+    -inf-scoring test items return k (never hit — matching the merged
+    kernel's sentinel-id contract for -inf slots).
+    """
+    b, n = scores.shape
+    vals, idx, _ = blockwise_candidates(scores, k, block_n, block_b,
+                                        interpret, mask_table)
+    t_ids = test_table.astype(jnp.int32)
+    valid = (t_ids >= 0) & (t_ids < n)
+    safe = jnp.where(valid, t_ids, 0)
+    s_t = jnp.take_along_axis(scores, safe, axis=1)
+    if mask_table is not None:
+        in_mask = jnp.any(safe[:, :, None] == mask_table[:, None, :],
+                          axis=-1)
+        valid &= ~in_mask
+    valid &= jnp.isfinite(s_t)
+    if s_t.shape[1] <= 128:
+        ranks = _rank_counts(vals, idx, s_t, safe, interpret)
+    else:           # very wide truth tables: XLA broadcast-compare-reduce
+        above = (vals[:, :, None] > s_t[:, None, :]) \
+            | ((vals[:, :, None] == s_t[:, None, :])
+               & (idx[:, :, None] < safe[:, None, :]))
+        ranks = jnp.sum(above.astype(jnp.int32), axis=1)
+    return jnp.where(valid, ranks, jnp.int32(k))

@@ -258,3 +258,171 @@ def test_blockwise_topk_wide_chunked_merge():
     rv, ri = jax.lax.top_k(jnp.asarray(scores), k)
     np.testing.assert_allclose(np.asarray(v), np.asarray(rv))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+# ---------------------------------------------------------------- round 5:
+# bisection tau (kth_largest) + the merge-free rank-counting eval path
+
+
+def _oracle_hits(scores, mask_table, test_table, k):
+    """Reference hit matrix: masked lax.top_k ids vs truth ids — the exact
+    construction eval_score_matrix_device's XLA path uses, with the
+    repo's -inf-slot contract (slots with -inf values never hit)."""
+    from skrx.ops.metrics import hits_against_padded_truth, mask_items
+    s = mask_items(jnp.asarray(scores), jnp.asarray(mask_table))
+    vals, idx = jax.lax.top_k(s, k)
+    sent = np.iinfo(np.int32).max // 2
+    idx = jnp.where(jnp.isneginf(vals), sent, idx)
+    return np.asarray(
+        hits_against_padded_truth(idx, jnp.asarray(test_table)))
+
+
+def _rank_hits(scores, mask_table, test_table, k, **kw):
+    from skrx.ops.pallas import masked_topk_ranks
+    ranks = masked_topk_ranks(jnp.asarray(scores), k,
+                              jnp.asarray(test_table),
+                              mask_table=jnp.asarray(mask_table),
+                              interpret=True, **kw)
+    return np.asarray(jnp.any(
+        ranks[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :],
+        axis=1).astype(jnp.float32))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kth_largest_matches_numpy(seed):
+    from skrx.ops.pallas import kth_largest
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((16, 4096)).astype(np.float32)
+    # inject ties, -infs, negatives-only rows, and a fully -inf row
+    x[1] = np.round(x[1] * 2)
+    x[2, 100:] = -np.inf
+    x[3] = -np.abs(x[3]) - 1.0
+    x[4] = -np.inf
+    for k in (1, 7, 50, 128):
+        got = np.asarray(kth_largest(jnp.asarray(x), k, interpret=True))
+        ref = np.sort(x, axis=1)[:, -k]
+        np.testing.assert_array_equal(got[:, 0], ref)
+        # lane-broadcast layout
+        np.testing.assert_array_equal(got, np.broadcast_to(got[:, :1],
+                                                           got.shape))
+
+
+def test_kth_largest_subnormals_and_zeros():
+    from skrx.ops.pallas import kth_largest
+    x = np.zeros((8, 256), np.float32)
+    x[0, :5] = [-0.0, 0.0, 1e-40, -1e-40, 5e-324]  # signed zeros/subnormals
+    x[1] = -0.0
+    got = np.asarray(kth_largest(jnp.asarray(x), 3, interpret=True))[:, 0]
+    ref = np.sort(x, axis=1)[:, -3]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed,L,T", [(0, 16, 4), (1, 64, 16), (2, 8, 1)])
+def test_rank_hits_match_topk_hits_random(seed, L, T):
+    rng = np.random.default_rng(seed)
+    b, n, k = 16, 8192, 50
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    mask = rng.integers(0, n, size=(b, L)).astype(np.int32)
+    test = rng.integers(0, n, size=(b, T)).astype(np.int32)
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_tie_storm_and_quantized():
+    rng = np.random.default_rng(3)
+    b, n, k = 8, 8192, 50
+    # heavy ties: integer-quantized scores plus a constant row
+    scores = rng.integers(0, 5, size=(b, n)).astype(np.float32)
+    scores[0] = 1.0
+    mask = rng.integers(0, n, size=(b, 16)).astype(np.int32)
+    test = rng.integers(0, n, size=(b, 8)).astype(np.int32)
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_popularity_clustered_top():
+    # adversarial for group-wise extraction: ALL top scores sit in the
+    # first 128 adjacent columns (popularity-remapped id layout), so the
+    # stage-B while loop does real work
+    rng = np.random.default_rng(4)
+    b, n, k = 8, 16384, 50
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    scores[:, :128] += 100.0
+    mask = rng.integers(0, 200, size=(b, 32)).astype(np.int32)
+    test = np.concatenate([rng.integers(0, 128, size=(b, 8)),
+                           rng.integers(0, n, size=(b, 8))],
+                          axis=1).astype(np.int32)
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_sparse_masked_and_invalid_test_items():
+    b, n, k = 8, 8192, 50
+    rng = np.random.default_rng(5)
+    scores = np.full((b, n), -np.inf, np.float32)
+    scores[:, :40] = rng.standard_normal((b, 40))  # < k finite entries
+    mask = np.full((b, 8), 0, np.int32)
+    mask[:, 1] = 3
+    test = np.zeros((b, 6), np.int32)
+    test[:, 0] = 5          # finite, maybe top
+    test[:, 1] = 3          # masked -> never hits
+    test[:, 2] = n          # out of range (pad id) -> never hits
+    test[:, 3] = 1000       # -inf score -> never hits
+    test[:, 4] = 0          # masked (id 0) -> never hits
+    test[:, 5] = 7
+    got = _rank_hits(scores, mask, test, k)
+    ref = _oracle_hits(scores, mask, test, k)
+    np.testing.assert_array_equal(got, ref)
+    # explicit: the masked/-inf/oob items produced no hit anywhere
+    assert got.sum() <= 2 * b
+
+
+def test_rank_hits_two_test_items_tied_scores():
+    # two test items with EXACTLY equal scores: lex rank must separate
+    # them by id, producing two distinct hit positions
+    b, n, k = 4, 8192, 10
+    scores = np.zeros((b, n), np.float32)
+    scores[:, 10] = 5.0
+    scores[:, 4000] = 5.0
+    scores[:, 7000] = 6.0
+    mask = np.full((b, 4), n, np.int32)  # no masking (pad ids)
+    test = np.tile(np.array([10, 4000], np.int32), (b, 1))
+    got = _rank_hits(scores, mask, test, k)
+    ref = _oracle_hits(scores, mask, test, k)
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got[:, 1], np.ones(b))  # rank 1
+    np.testing.assert_array_equal(got[:, 2], np.ones(b))  # rank 2
+
+
+def test_eval_score_matrix_device_rank_path_matches_xla(monkeypatch):
+    """The production wiring (eval_score_matrix_device's Pallas branch)
+    against its own XLA branch, on the CPU interpret path."""
+    from skrx.ops import metrics as M
+
+    rng = np.random.default_rng(6)
+    b, n, k = 12, 8192, 20
+    scores = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    train = jnp.asarray(rng.integers(0, n, size=(b, 24)).astype(np.int32))
+    test = jnp.asarray(rng.integers(0, n, size=(b, 6)).astype(np.int32))
+    tlen = jnp.full((b,), 6, jnp.int32)
+    ids = (1, 2, 4, 5)
+
+    ref = M.eval_score_matrix_device(scores, train, test, tlen, ids, k,
+                                     use_pallas=False)
+
+    monkeypatch.setattr(M, "_use_blockwise", lambda n_, k_: True)
+    import skrx.ops.pallas.topk_blocks as tb
+    real = tb.masked_topk_ranks
+
+    def interp(scores, k, test_table, mask_table=None, **kw):
+        kw.pop("interpret", None)
+        return real(scores, k, test_table, mask_table=mask_table,
+                    interpret=True, **kw)
+
+    monkeypatch.setattr(tb, "masked_topk_ranks", interp)
+    import skrx.ops.pallas as P
+    monkeypatch.setattr(P, "masked_topk_ranks", interp)
+    got = M.eval_score_matrix_device(scores, train, test, tlen, ids, k,
+                                     use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
