@@ -95,8 +95,17 @@ Pallas kernel and skips the sorted merge entirely; the XLA broadcast-
 compare-reduce version of the same count cost 2.4). Evaluation total
 14.7 -> 11.25 ms = 1.46M users/s device-true (+30%); the sorted-ids
 ``blockwise_topk`` (predict/serve) total 16.3 -> 14.6 ms from the tau
-win. Remaining structural headroom: the second full read (fuse
-threshold+extraction into one pass with a rescue pass — see NEXT.md #0).
+win. REJECTED (measured, same session): a one-pass design fusing
+threshold+extraction (stage-A-only kernel emitting 4 rounds of per-group
+candidates + residual group maxima, tau computed after, residual>=tau
+flagging per-block-column rescue recounts, two-pass fallback for tie
+storms) measured 11.69 ms vs this design's 11.25 — the second read it
+saves (3.5 ms at stream rate) is fully repaid by stage-A VPU cost (4
+rounds x [2 fold trees + 2 pltpu.repeat broadcasts + clear] ~ 8-10 ms
+kernel-alone, block_b 128-192 all equal) plus the wider candidate
+write/count. The kernel is VPU-bound the moment it does 4 rounds; only a
+fundamentally cheaper per-group top-R (e.g. a top-R sorting-network fold)
+would change the balance. See NEXT.md #0.
 
 COMPILE-TIME NOTE: the extraction loop's block must be mutated through a
 VMEM scratch ref, NOT carried as a `lax.while_loop` value — a 4 MB

@@ -426,3 +426,77 @@ def test_eval_score_matrix_device_rank_path_matches_xla(monkeypatch):
                                      use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+# ----------------------------------------------------- round 5: one-pass
+# rank counting (stage-A-only kernel + per-column rescue + fallback)
+
+
+def test_rank_hits_group_overflow_forces_rescue():
+    # 6 of the global top-10 share ONE stride-128 group (ids 0, 128, ...,
+    # 640 in block 0) — more than ONEPASS_ROUNDS, so the one-pass kernel
+    # cannot emit them all and the residual-max flag must trigger the
+    # per-column rescue for an exact count
+    b, n, k = 8, 16384, 10
+    rng = np.random.default_rng(7)
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    group_ids = np.array([0, 128, 256, 384, 512, 640])
+    scores[:, group_ids] = 50.0 + np.arange(6)[::-1]
+    mask = np.full((b, 4), n, np.int32)
+    test = np.tile(np.concatenate([group_ids[:4], [3, 77]]).astype(np.int32),
+                   (b, 1))
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_two_clustered_columns():
+    # clusters in TWO different block columns: both must be rescued
+    b, n, k = 8, 16384, 20
+    rng = np.random.default_rng(8)
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    g0 = np.array([0, 128, 256, 384, 512])          # block 0, group 0
+    g1 = 4096 + np.array([7, 135, 263, 391, 519])   # block 1, group 7
+    scores[:, g0] = 60.0
+    scores[:, g1] = 55.0
+    mask = np.full((b, 4), n, np.int32)
+    test = np.tile(np.concatenate([g0[:3], g1[:3]]).astype(np.int32), (b, 1))
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_constant_scores_overflow_fallback():
+    # constant scores flag EVERY column (every residual group max equals
+    # tau) -> more than _RESCUE_MAX_COLS -> the two-pass fallback must
+    # produce the exact index-ordered ranking
+    b, n, k = 4, 16384, 10
+    scores = np.ones((b, n), np.float32)
+    mask = np.zeros((b, 3), np.int32)
+    mask[:] = [0, 1, 2]
+    test = np.tile(np.array([1, 3, 4, 500, 12000], np.int32), (b, 1))
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_rescued_column_with_masked_elements():
+    # rescue recount must apply the packed mask: cluster in block 0 where
+    # half the cluster is ALSO masked out
+    b, n, k = 8, 16384, 10
+    rng = np.random.default_rng(9)
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    group_ids = np.arange(6) * 128
+    scores[:, group_ids] = 50.0
+    mask = np.tile(group_ids[:3].astype(np.int32), (b, 1))   # mask 3 of 6
+    test = np.tile(group_ids[2:6].astype(np.int32), (b, 1))
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
+
+
+def test_rank_hits_wide_truth_table_xla_path():
+    # T > 128 routes through the two-pass + XLA broadcast-reduce branch
+    b, n, k = 4, 8192, 50
+    rng = np.random.default_rng(10)
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    mask = rng.integers(0, n, size=(b, 8)).astype(np.int32)
+    test = rng.integers(0, n, size=(b, 140)).astype(np.int32)
+    np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
+                                  _oracle_hits(scores, mask, test, k))
