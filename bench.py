@@ -516,10 +516,12 @@ def main():
             RESULTS["eval_users_per_s"] = round(eval_ups, 1)
             try:
                 # the threshold-pruned kernel makes TWO passes over each
-                # (B, N) score page; certify against the MEASURED
-                # same-session pure-read rate, not the paper peak (this
-                # shared chip delivers 172-237 GB/s chip-load-dependent —
-                # NEXT.md #0 / BASELINE.md round-4 correction)
+                # (B, N) score page (submax + extract; the rank-count tail
+                # reads only the narrow candidates); certify against the
+                # MEASURED same-session in-dispatch stream rate (~743 GB/s
+                # repeatable — NEXT.md #0; round 4's "172-237 GB/s" was
+                # RTT-polluted and is retracted). eval_ups is dispatch-
+                # inclusive, so this GB/s understates the device-true rate.
                 stream_gbps = measure_hbm_stream()
                 eval_gbps = 2 * eval_ups * EVAL_N * 4 / 1e9
                 RESULTS["hbm_stream_gbps_measured"] = round(stream_gbps, 1)
