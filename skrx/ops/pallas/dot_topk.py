@@ -56,7 +56,8 @@ from jax.experimental import pallas as pl
 from .topk_blocks import (_BITS, _apply_mask, emit_submaxes, extract_block,
                           pack_mask, vmem_topk)
 
-__all__ = ["dot_topk", "pack_items"]
+__all__ = ["dot_topk", "dot_topk_candidates", "dot_topk_ranks",
+           "pack_items"]
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -119,29 +120,17 @@ def _dot_extract_kernel(k, k_eff, interpret, uv_ref, items_ref, bias_ref,
                   vals_ref, idx_ref, scratch_ref, interpret=interpret)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "block_b", "interpret",
-                                    "n"))
-def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
-             mask_table: jnp.ndarray = None, block_n: int = 4096,
-             block_b: int = 256,
-             interpret: bool = False,
-             packed=None, n: int = None):
-    """Exact (values, indices) top-k per row of ``uv @ items.T + bias``,
-    with ``mask_table`` items excluded, never materializing (B, N).
-
-    uv: (B, d) float32 user/query vectors.
-    items: (N, d) float32 item table.
-    bias: (N,) float32 or None.
-    mask_table: (B, L) int32 per-row exclusions (out-of-range = padding).
-    packed: optional ``pack_items(items, bias, block_n)`` result; when given,
-        ``items``/``bias`` are ignored (pass None) and the per-call table
-        transpose is skipped — use for repeated calls against one frozen
-        table. Requires ``n`` = the true (unpadded) catalog size.
-
-    Same exactness/tie-break semantics and the same gating advice as
-    ``blockwise_topk`` (route catalogs below ~32k items to lax.top_k).
-    ``block_n`` must be 128 * a power of two (fold-tree threshold pass).
+def dot_topk_candidates(uv: jnp.ndarray, items: jnp.ndarray,
+                        bias: jnp.ndarray, k: int,
+                        mask_table: jnp.ndarray = None, block_n: int = 4096,
+                        block_b: int = 256, interpret: bool = False,
+                        packed=None, n: int = None):
+    """Fused score+threshold+extraction WITHOUT the final merge: returns
+    ``(cand_vals, cand_ids, tau)`` exactly as
+    ``topk_blocks.blockwise_candidates`` but with every score block
+    recomputed in the MXU instead of read from HBM (see module header).
+    The evaluator's rank-counting path (:func:`dot_topk_ranks`) consumes
+    this directly; ``dot_topk`` adds the sorted merge.
     """
     b, d = uv.shape
     assert d <= 512, "re-budget VMEM before using dot_topk beyond d=512"
@@ -265,8 +254,71 @@ def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
         scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
         interpret=interpret,
     )(*operands)
-    vals, idx = vals[:b], idx[:b]
+    return vals[:b], idx[:b], tau
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_n", "block_b", "interpret",
+                                    "n"))
+def dot_topk(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray, k: int,
+             mask_table: jnp.ndarray = None, block_n: int = 4096,
+             block_b: int = 256,
+             interpret: bool = False,
+             packed=None, n: int = None):
+    """Exact (values, indices) top-k per row of ``uv @ items.T + bias``,
+    with ``mask_table`` items excluded, never materializing (B, N).
+
+    uv: (B, d) float32 user/query vectors.
+    items: (N, d) float32 item table.
+    bias: (N,) float32 or None.
+    mask_table: (B, L) int32 per-row exclusions (out-of-range = padding).
+    packed: optional ``pack_items(items, bias, block_n)`` result; when given,
+        ``items``/``bias`` are ignored (pass None) and the per-call table
+        transpose is skipped — use for repeated calls against one frozen
+        table. Requires ``n`` = the true (unpadded) catalog size.
+
+    Same exactness/tie-break semantics and the same gating advice as
+    ``blockwise_topk`` (route catalogs below ~32k items to lax.top_k).
+    ``block_n`` must be 128 * a power of two (fold-tree threshold pass).
+    """
+    vals, idx, tau = dot_topk_candidates(uv, items, bias, k, mask_table,
+                                         block_n, block_b, interpret,
+                                         packed, n)
     from .topk_blocks import merge_topk
     k_out = min(k, vals.shape[1])
     return merge_topk(vals, idx, k_out, tau=tau[:, 0], interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_n", "block_b", "interpret",
+                                    "n"))
+def dot_topk_ranks(uv: jnp.ndarray, items: jnp.ndarray, bias: jnp.ndarray,
+                   k: int, test_table: jnp.ndarray,
+                   mask_table: jnp.ndarray = None, block_n: int = 4096,
+                   block_b: int = 256, interpret: bool = False,
+                   packed=None, n: int = None) -> jnp.ndarray:
+    """(B, T) int32 rank of each ``test_table`` item in the row's masked
+    ``uv @ items.T + bias`` ranking — exact wherever the rank is < k and
+    guaranteed >= k otherwise, never materializing (B, N) and never
+    merging sorted ids (the fused-eval counterpart of
+    ``topk_blocks.masked_topk_ranks``).
+
+    Unlike the score-reading path, the test item's score is NOT recomputed
+    outside the kernel (a separate gather-dot could round differently from
+    the MXU block matmul and corrupt tie comparisons); instead it is
+    LOOKED UP from the candidate set by id: a test item with rank < k is
+    in the top-k and therefore emitted with its exact kernel value (the
+    blockwise emission guarantee), so the lookup is always found when it
+    matters. Not-found / -inf (masked, catalog-pad, out-of-range,
+    sub-extraction) test items return k — they cannot be in the top-k.
+    Duplicate ids in the candidate list (a cleared element re-surfacing as
+    an empty-group -inf lane) are harmless: the lookup takes the max.
+    """
+    vals, idx, _tau = dot_topk_candidates(uv, items, bias, k, mask_table,
+                                          block_n, block_b, interpret,
+                                          packed, n)
+    from .topk_blocks import _rank_lookup_counts
+    ranks, found = _rank_lookup_counts(vals, idx,
+                                       test_table.astype(jnp.int32),
+                                       interpret)
+    return jnp.where(found, ranks, jnp.int32(k))

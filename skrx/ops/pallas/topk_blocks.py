@@ -825,14 +825,15 @@ def _rank_count_kernel(t_count, vals_ref, idx_ref, st_ref, tid_ref,
     ids = idx_ref[...]
     bsz = v.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, 128), 1)
-    out = jnp.zeros((bsz, 128), jnp.int32)
+    # ref-accumulation, not a carried value chain (see
+    # _rank_lookup_count_kernel's stack note)
+    out_ref[...] = jnp.zeros((bsz, 128), jnp.int32)
     for t in range(t_count):
         s = st_ref[:, t:t + 1]
         ti = tid_ref[:, t:t + 1]
         above = (v > s) | ((v == s) & (ids < ti))
         cnt = jnp.sum(above.astype(jnp.int32), axis=1)
-        out = jnp.where(lanes == t, cnt[:, None], out)
-    out_ref[...] = out
+        out_ref[...] = jnp.where(lanes == t, cnt[:, None], out_ref[...])
 
 
 def _rank_counts(vals: jnp.ndarray, idx: jnp.ndarray, s_t: jnp.ndarray,
@@ -865,6 +866,69 @@ def _rank_counts(vals: jnp.ndarray, idx: jnp.ndarray, s_t: jnp.ndarray,
         interpret=interpret,
     )(vals, idx.astype(jnp.int32), st, ti.astype(jnp.int32))
     return out[:b, :t]
+
+
+def _rank_lookup_count_kernel(t_count, vals_ref, idx_ref, tid_ref,
+                              out_ref, sv_ref):
+    """Like :func:`_rank_count_kernel`, but each probe's score is LOOKED
+    UP from the candidate set by id (max over lanes with matching id)
+    instead of arriving as an operand — the fused dot-eval path cannot
+    recompute scores outside the kernel without risking a different
+    rounding of the same dot product (see dot_topk_ranks). Emits the
+    looked-up value too (sv) so the caller can detect not-found/-inf."""
+    v = vals_ref[...]
+    ids = idx_ref[...]
+    bsz = v.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, 128), 1)
+    # accumulate THROUGH the output refs, not a carried value: a value
+    # chain keeps ~t_count (bsz, 128) snapshots live on Mosaic's stack
+    # (measured 17.8M scoped vmem at t_count~128 — the module compile-time
+    # note's failure mode); a ref store ends each iteration's liveness
+    out_ref[...] = jnp.zeros((bsz, 128), jnp.int32)
+    sv_ref[...] = jnp.full((bsz, 128), -jnp.inf, sv_ref.dtype)
+    for t in range(t_count):
+        ti = tid_ref[:, t:t + 1]
+        s = jnp.max(jnp.where(ids == ti, v, -jnp.inf), axis=1,
+                    keepdims=True)
+        above = (v > s) | ((v == s) & (ids < ti))
+        cnt = jnp.sum(above.astype(jnp.int32), axis=1)
+        out_ref[...] = jnp.where(lanes == t, cnt[:, None], out_ref[...])
+        sv_ref[...] = jnp.where(lanes == t, s, sv_ref[...])
+
+
+def _rank_lookup_counts(vals: jnp.ndarray, idx: jnp.ndarray,
+                        t_ids: jnp.ndarray, interpret: bool):
+    """((B, T) int32 counts, (B, T) bool found) — lookup-by-id variant of
+    :func:`_rank_counts` (see :func:`_rank_lookup_count_kernel`); T must
+    be <= 128."""
+    b, w = vals.shape
+    t = t_ids.shape[1]
+    assert t <= 128, t
+    pad_w = -(-w // 128) * 128 - w
+    if pad_w:
+        vals = jnp.pad(vals, ((0, 0), (0, pad_w)),
+                       constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad_w)),
+                      constant_values=jnp.iinfo(jnp.int32).max // 2)
+        w += pad_w
+    ti = jnp.pad(t_ids, ((0, 0), (0, 128 - t)),
+                 constant_values=jnp.iinfo(jnp.int32).max // 2)
+    block_b = max(8, min(256, b, (1 << 21) // (w * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    out, sv = pl.pallas_call(
+        functools.partial(_rank_lookup_count_kernel, t),
+        grid=(nb_b,),
+        in_specs=[pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, w), lambda i: (i, 0)),
+                  pl.BlockSpec((block_b, 128), lambda i: (i, 0))],
+        out_specs=(pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+                   pl.BlockSpec((block_b, 128), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((nb_b * block_b, 128),
+                                        vals.dtype)),
+        interpret=interpret,
+    )(vals, idx.astype(jnp.int32), ti.astype(jnp.int32))
+    return out[:b, :t], jnp.isfinite(sv[:b, :t])
 
 
 @functools.partial(jax.jit,
