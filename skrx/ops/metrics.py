@@ -86,6 +86,12 @@ def _use_blockwise(n: int, k: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _use_small_ranks(n: int, t: int) -> bool:
+    # whole-row direct rank counting: the row must fit VMEM and the probe
+    # loop is unrolled per test column (topk_blocks.masked_topk_ranks_small)
+    return n <= 16384 and t <= 128 and jax.default_backend() == "tpu"
+
+
 def topk_scores_and_indices(scores: jnp.ndarray, k: int,
                             mask_table: jnp.ndarray = None,
                             allow_pallas: bool = True
@@ -197,10 +203,20 @@ def eval_score_matrix_device(scores: jnp.ndarray,
     never-hit contract (see the kernel docstring's exactness argument).
     """
     n = scores.shape[1]
-    if use_pallas and _use_blockwise(n, top_k):
-        from .pallas import masked_topk_ranks
-        ranks = masked_topk_ranks(scores, top_k, test_table,
-                                  mask_table=train_table)
+    ranks = None
+    if use_pallas and scores.dtype == jnp.float32:
+        if _use_blockwise(n, top_k):
+            from .pallas import masked_topk_ranks
+            ranks = masked_topk_ranks(scores, top_k, test_table,
+                                      mask_table=train_table)
+        elif _use_small_ranks(n, test_table.shape[1]):
+            # below the blockwise gate lax.top_k's fixed ~2.7 us/row would
+            # dominate (44 ms at (16384, 2048) — the ML-100k/ML-1M regime);
+            # a whole-row direct rank count is ~100x cheaper
+            from .pallas import masked_topk_ranks_small
+            ranks = masked_topk_ranks_small(scores, top_k, test_table,
+                                            mask_table=train_table)
+    if ranks is not None:
         hits = jnp.any(
             ranks[:, :, None] == jnp.arange(top_k, dtype=jnp.int32)[None,
                                                                     None, :],

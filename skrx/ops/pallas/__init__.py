@@ -5,9 +5,11 @@ from .segsum_mxu import (MXUGraph, WeightedMXUGraph,
                          weighted_mxu_graph_from_coo)
 from .dot_topk import dot_topk, dot_topk_candidates, dot_topk_ranks
 from .topk_blocks import (blockwise_candidates, blockwise_topk,
-                          kth_largest, masked_topk_ranks, vmem_topk)
+                          kth_largest, masked_topk_ranks,
+                          masked_topk_ranks_small, vmem_topk)
 
 __all__ = ["blockwise_topk", "blockwise_candidates", "masked_topk_ranks",
+           "masked_topk_ranks_small",
            "kth_largest", "vmem_topk", "dot_topk", "dot_topk_candidates",
            "dot_topk_ranks", "MXUGraph", "mxu_graph_from_coo",
            "mxu_graph_from_sp_matrix", "propagate_mxu",

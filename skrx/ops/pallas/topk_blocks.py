@@ -121,6 +121,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["blockwise_topk", "blockwise_candidates", "masked_topk_ranks",
+           "masked_topk_ranks_small",
            "kth_largest", "vmem_topk"]
 
 _BITS = 32
@@ -929,6 +930,93 @@ def _rank_lookup_counts(vals: jnp.ndarray, idx: jnp.ndarray,
         interpret=interpret,
     )(vals, idx.astype(jnp.int32), ti.astype(jnp.int32))
     return out[:b, :t], jnp.isfinite(sv[:b, :t])
+
+
+def _direct_rank_kernel(t_count, interpret, scores_ref, packed_ref,
+                        tid_ref, out_ref, sv_ref):
+    """Whole-row rank counting for SMALL catalogs: the full (masked) score
+    row lives in VMEM, ids are the column iota, and each probe's score is
+    looked up by id then counted lexicographically — no threshold, no
+    candidates, no merge (see :func:`masked_topk_ranks_small`)."""
+    blk = scores_ref[...]
+    if packed_ref is not None:
+        blk = _apply_mask(blk, packed_ref[...], interpret)
+    bsz, np_ = blk.shape
+    ids = jax.lax.broadcasted_iota(jnp.int32, (bsz, np_), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bsz, 128), 1)
+    # ref-accumulation, not a carried value chain (see
+    # _rank_lookup_count_kernel's stack note)
+    out_ref[...] = jnp.zeros((bsz, 128), jnp.int32)
+    sv_ref[...] = jnp.full((bsz, 128), -jnp.inf, sv_ref.dtype)
+    for t in range(t_count):
+        ti = tid_ref[:, t:t + 1]
+        s = jnp.max(jnp.where(ids == ti, blk, -jnp.inf), axis=1,
+                    keepdims=True)
+        above = (blk > s) | ((blk == s) & (ids < ti))
+        cnt = jnp.sum(above.astype(jnp.int32), axis=1)
+        out_ref[...] = jnp.where(lanes == t, cnt[:, None], out_ref[...])
+        sv_ref[...] = jnp.where(lanes == t, s, sv_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def masked_topk_ranks_small(scores: jnp.ndarray, k: int,
+                            test_table: jnp.ndarray,
+                            mask_table: jnp.ndarray = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """(B, T) int32 EXACT rank of each test item over the full masked row
+    — the small-catalog (N <= ~16k) evaluation path, where the whole row
+    fits VMEM and a direct lexicographic count beats everything else.
+
+    XLA's ``lax.top_k`` costs a fixed ~2.7 us per ROW at any width on this
+    chip — 44 ms for a (16384, 2048) eval batch — which is exactly the
+    regime of the reference's headline datasets (ML-100k: 1682 items,
+    ML-1M: ~3.7k). The direct count does T*(~5 ops)*N per row: ~0.03 us
+    per row at T=16, N=4096 — two orders of magnitude less. Exact at ANY
+    rank (every element is counted — no candidate emission involved);
+    clamp semantics and the masked/-inf/oob never-hit contract match
+    :func:`masked_topk_ranks`.
+    """
+    b, n = scores.shape
+    t = test_table.shape[1]
+    assert t <= 128, t
+    if mask_table is not None and not interpret:
+        npad = -(-n // 4096) * 4096        # packed-mask lane alignment
+    else:
+        npad = -(-n // 128) * 128
+    if npad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, npad - n)),
+                         constant_values=-jnp.inf)
+    ti = jnp.pad(test_table.astype(jnp.int32), ((0, 0), (0, 128 - t)),
+                 constant_values=jnp.iinfo(jnp.int32).max // 2)
+    block_b = max(8, min(256, b, (1 << 21) // (npad * 4)) // 8 * 8)
+    nb_b = -(-b // block_b)
+    in_specs = [pl.BlockSpec((block_b, npad), lambda i: (i, 0))]
+    ops = [scores]
+    if mask_table is not None:
+        packed = pack_mask(mask_table, b, n, 1, npad)
+        in_specs.append(pl.BlockSpec((block_b, npad // _BITS),
+                                     lambda i: (i, 0)))
+        ops.append(packed)
+        kernel = functools.partial(_direct_rank_kernel, t, interpret)
+    else:
+        def kernel(scores_ref, tid_ref, out_ref, sv_ref):
+            return _direct_rank_kernel(t, interpret, scores_ref, None,
+                                       tid_ref, out_ref, sv_ref)
+    in_specs.append(pl.BlockSpec((block_b, 128), lambda i: (i, 0)))
+    ops.append(ti)
+    out, sv = pl.pallas_call(
+        kernel,
+        grid=(nb_b,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+                   pl.BlockSpec((block_b, 128), lambda i: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nb_b * block_b, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((nb_b * block_b, 128),
+                                        scores.dtype)),
+        interpret=interpret,
+    )(*ops)
+    found = jnp.isfinite(sv[:b, :t])
+    return jnp.where(found, out[:b, :t], jnp.int32(k))
 
 
 @functools.partial(jax.jit,

@@ -500,3 +500,73 @@ def test_rank_hits_wide_truth_table_xla_path():
     test = rng.integers(0, n, size=(b, 140)).astype(np.int32)
     np.testing.assert_array_equal(_rank_hits(scores, mask, test, k),
                                   _oracle_hits(scores, mask, test, k))
+
+
+# ------------------------------------------- round 5: small-catalog direct
+# rank counting (masked_topk_ranks_small — the ML-100k/ML-1M regime)
+
+
+def _small_rank_hits(scores, mask, test, k):
+    from skrx.ops.pallas import masked_topk_ranks_small
+    ranks = masked_topk_ranks_small(jnp.asarray(scores), k,
+                                    jnp.asarray(test),
+                                    mask_table=jnp.asarray(mask),
+                                    interpret=True)
+    return np.asarray(jnp.any(
+        ranks[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :],
+        axis=1).astype(jnp.float32))
+
+
+@pytest.mark.parametrize("n,variant", [(1682, "rand"), (3706, "ties"),
+                                       (150, "tiny"), (2048, "sparse")])
+def test_small_rank_hits_match_topk_hits(n, variant):
+    rng = np.random.default_rng(hash(variant) % 1000)
+    b, k, L, T = 16, 50, 16, 6
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    if variant == "ties":
+        scores = np.round(scores)
+    if variant == "sparse":
+        scores[:] = -np.inf
+        scores[:, :10] = rng.standard_normal((b, 10))
+    mask = rng.integers(0, n, size=(b, L)).astype(np.int32)
+    test = rng.integers(0, n, size=(b, T)).astype(np.int32)
+    test[:, 0] = mask[:, 0]      # masked -> never hits
+    test[:, -1] = n              # pad id -> never hits
+    got = _small_rank_hits(scores, mask, test, k)
+    ref = _oracle_hits(scores, mask, test, min(k, n))
+    if ref.shape[1] < k:         # catalog smaller than the cutoff
+        ref = np.pad(ref, ((0, 0), (0, k - ref.shape[1])))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_eval_score_matrix_device_small_path_matches_xla(monkeypatch):
+    """Production wiring of the small-catalog branch vs the XLA branch."""
+    from skrx.ops import metrics as M
+
+    rng = np.random.default_rng(11)
+    b, n, k = 10, 1700, 20
+    scores = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    train = jnp.asarray(rng.integers(0, n, size=(b, 20)).astype(np.int32))
+    test = jnp.asarray(rng.integers(0, n, size=(b, 5)).astype(np.int32))
+    tlen = jnp.full((b,), 5, jnp.int32)
+    ids = (1, 2, 4, 5)
+
+    ref = M.eval_score_matrix_device(scores, train, test, tlen, ids, k,
+                                     use_pallas=False)
+
+    monkeypatch.setattr(M, "_use_small_ranks", lambda n_, t_: True)
+    import skrx.ops.pallas.topk_blocks as tb
+    real = tb.masked_topk_ranks_small
+
+    def interp(scores, k, test_table, mask_table=None, **kw):
+        kw.pop("interpret", None)
+        return real.__wrapped__(scores, k, test_table,
+                                mask_table=mask_table, interpret=True)
+
+    import skrx.ops.pallas as P
+    monkeypatch.setattr(tb, "masked_topk_ranks_small", interp)
+    monkeypatch.setattr(P, "masked_topk_ranks_small", interp)
+    got = M.eval_score_matrix_device(scores, train, test, tlen, ids, k,
+                                     use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
