@@ -513,25 +513,32 @@ def main():
         eval_ups, eval_vs_xla = bench_eval_tpu(ectx)
         PHASES["tpu_eval"] = time.perf_counter() - t0
         if eval_ups is not None:
-            RESULTS["eval_users_per_s"] = round(eval_ups, 1)
-            try:
-                # the threshold-pruned kernel makes TWO passes over each
-                # (B, N) score page (submax + extract; the rank-count tail
-                # reads only the narrow candidates); certify against the
-                # MEASURED same-session in-dispatch stream rate (~743 GB/s
-                # repeatable — NEXT.md #0; round 4's "172-237 GB/s" was
-                # RTT-polluted and is retracted). eval_ups is dispatch-
-                # inclusive, so this GB/s understates the device-true rate.
-                stream_gbps = measure_hbm_stream()
-                eval_gbps = 2 * eval_ups * EVAL_N * 4 / 1e9
-                RESULTS["hbm_stream_gbps_measured"] = round(stream_gbps, 1)
-                RESULTS["eval_gbps"] = round(eval_gbps, 1)
-                RESULTS["eval_stream_frac"] = round(eval_gbps / stream_gbps,
-                                                    2)
-                RESULTS["eval_roofline_frac"] = round(eval_gbps * 1e9
-                                                      / hbm_peak, 3)
-            except Exception as e:
-                RESULTS["stream_error"] = repr(e)
+            # the threshold-pruned kernel makes TWO passes over each
+            # (B, N) score page (submax + extract; the rank-count tail
+            # reads only the narrow candidates). eval_ups is dispatch-
+            # inclusive, so this GB/s understates the device-true rate.
+            # These two fields depend only on eval_ups — emit them BEFORE
+            # the stream probe so a probe failure cannot drop them.
+            eval_gbps = 2 * eval_ups * EVAL_N * 4 / 1e9
+            RESULTS["eval_gbps"] = round(eval_gbps, 1)
+            RESULTS["eval_roofline_frac"] = round(eval_gbps * 1e9
+                                                  / hbm_peak, 3)
+            # certify against the MEASURED same-session in-dispatch stream
+            # rate (~743 GB/s repeatable — NEXT.md #0; round 4's "172-237
+            # GB/s" was RTT-polluted and is retracted). The probe costs
+            # two fresh compiles + ~8 timed 512 MB reductions; skip it
+            # when the watchdog budget cannot absorb a stalled compile.
+            if _remaining() < 25:
+                RESULTS["stream_error"] = "skipped: deadline budget"
+            else:
+                try:
+                    stream_gbps = measure_hbm_stream()
+                    RESULTS["hbm_stream_gbps_measured"] = round(stream_gbps,
+                                                                1)
+                    RESULTS["eval_stream_frac"] = round(
+                        eval_gbps / stream_gbps, 2)
+                except Exception as e:
+                    RESULTS["stream_error"] = repr(e)
         if eval_vs_xla is not None:
             RESULTS["eval_vs_xla"] = round(eval_vs_xla, 2)
         # compile share of wall: train_compile overlaps eval_compile_pallas

@@ -124,14 +124,14 @@ def fetch_raw(name, dest_dir, opener=None):
     ``dest_dir``; returns the raw file path. ``opener(url) -> bytes``
     overrides the network call (tests)."""
     spec = DATASETS[name]
+    os.makedirs(dest_dir, exist_ok=True)
+    raw_path = os.path.join(dest_dir, name + ".raw")
+    if os.path.exists(raw_path):        # incl. manually placed (yelp)
+        return raw_path
     if spec["url"] is None:
         raise RuntimeError(
             f"{name}: license-gated — place the converted rating file at "
-            f"{os.path.join(dest_dir, name + '.raw')} manually")
-    os.makedirs(dest_dir, exist_ok=True)
-    raw_path = os.path.join(dest_dir, name + ".raw")
-    if os.path.exists(raw_path):
-        return raw_path
+            f"{raw_path} manually")
     if opener is None:
         from urllib.request import urlopen
 
@@ -194,8 +194,7 @@ def build_reference(reference_src, workdir):
     return dst
 
 
-def side_command(side, driver, recommender, data_dir, flags, file_column,
-                 sep):
+def side_command(driver, recommender, data_dir, flags, file_column, sep):
     """The exact CLI invocation for one side (shared flag contract)."""
     cmd = [sys.executable, driver, "--recommender", recommender,
            "--data_dir", data_dir, "--file_column", file_column,
@@ -246,7 +245,7 @@ def run_config(key, split_dir, reference_dir, repo_dir, log_dir):
                 ("skrx", os.path.join(repo_dir, "run_skrx.py"), repo_dir),
                 ("ref", os.path.join(reference_dir, "run_skrec.py"),
                  reference_dir)):
-            cmd = side_command(side, driver, rec, split_dir, flags,
+            cmd = side_command(driver, rec, split_dir, flags,
                                file_column, "\\t")
             out = subprocess.run(cmd, cwd=cwd, capture_output=True,
                                  text=True, check=True)
@@ -280,17 +279,30 @@ def main():
     splits = {}
     for key in args.configs:
         ds = CONFIGS[key]["dataset"]
-        if args.fetch and ds not in splits:
+        if ds in splits:
+            continue
+        out_root = os.path.join(args.workdir, "data", ds)
+        if args.fetch:
             raw = fetch_raw(ds, os.path.join(args.workdir, "raw"))
-            splits[ds] = preprocess(ds, raw,
-                                    os.path.join(args.workdir, "data", ds))
+            splits[ds] = preprocess(ds, raw, out_root)
             print(f"[{ds}] split at {splits[ds]}")
+        elif os.path.isdir(out_root):   # staged runbook: resume a prior
+            dirs = sorted(d for d in os.listdir(out_root)  # --fetch's output
+                          if os.path.isdir(os.path.join(out_root, d)))
+            if dirs:
+                splits[ds] = os.path.join(out_root, dirs[-1])
+                print(f"[{ds}] reusing split at {splits[ds]}")
     ref_dir = None
     if args.build_reference:
         ref_dir = build_reference(args.reference, args.workdir)
         print(f"[reference] built at {ref_dir}")
     if args.run:
         assert ref_dir, "--run needs --build-reference (or a prior build)"
+        missing = [k for k in args.configs
+                   if CONFIGS[k]["dataset"] not in splits]
+        assert not missing, (
+            f"no split data for {missing}: run with --fetch first "
+            f"(splits are then reused from --workdir on later invocations)")
         print("| config | ref NDCG@20 | skrx | ratio | ref Recall@20 "
               "| skrx | ratio |")
         print("|---|---|---|---|---|---|---|")

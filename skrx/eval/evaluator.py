@@ -453,6 +453,7 @@ class RankingEvaluator:
         of one cached jitted runner, so per-epoch factor updates never
         retrace."""
         from ..ops.metrics import (hits_against_padded_truth,
+                                   hits_from_ranks,
                                    ranking_metrics_from_hits)
         from ..ops.pallas import dot_topk
         from ..ops.pallas.dot_topk import pack_items
@@ -564,10 +565,7 @@ class RankingEvaluator:
                 if use_ranks:
                     ranks_g = jax.lax.scan(
                         body_ranks, 0, (uv_g, train_g, test_g))[1]
-                    hits = jnp.any(
-                        ranks_g.reshape(p * bs, -1)[:, :, None]
-                        == jnp.arange(k, dtype=jnp.int32)[None, None, :],
-                        axis=1).astype(jnp.float32)
+                    hits = hits_from_ranks(ranks_g.reshape(p * bs, -1), k)
                 else:       # very wide truth tables: sorted-ids compare
                     idx_g = jax.lax.scan(body_idx, 0,
                                          (uv_g, train_g, test_g))[1]

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["METRIC2ID", "ID2METRIC", "ranking_metrics_from_hits",
+           "hits_from_ranks",
            "topk_from_scores", "mask_items", "masked_topk_indices",
            "topk_scores_and_indices",
            "eval_score_matrix_device", "eval_score_matrix_device_paged",
@@ -135,6 +136,17 @@ def masked_topk_indices(scores: jnp.ndarray, mask_table: jnp.ndarray,
     return topk_scores_and_indices(scores, k, mask_table=mask_table)[1]
 
 
+def hits_from_ranks(ranks: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(B, K) float32 hit matrix from (B, T) test-item ranks: position r
+    is a hit iff some test item's rank == r; ranks >= k (the never-hit
+    clamp used for masked/-inf/out-of-range items) fall outside and
+    produce no hit. The single definition of the rank->hit contract shared
+    by the score-reading and fused eval paths."""
+    return jnp.any(
+        ranks[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :],
+        axis=1).astype(jnp.float32)
+
+
 def hits_against_padded_truth(topk_items: jnp.ndarray,
                               truth_table: jnp.ndarray) -> jnp.ndarray:
     """(B, K) float32 hit indicator: topk item appears in the row's truth set.
@@ -217,10 +229,7 @@ def eval_score_matrix_device(scores: jnp.ndarray,
             ranks = masked_topk_ranks_small(scores, top_k, test_table,
                                             mask_table=train_table)
     if ranks is not None:
-        hits = jnp.any(
-            ranks[:, :, None] == jnp.arange(top_k, dtype=jnp.int32)[None,
-                                                                    None, :],
-            axis=1).astype(jnp.float32)
+        hits = hits_from_ranks(ranks, top_k)
     else:
         vals_idx = topk_scores_and_indices(
             scores, top_k, mask_table=train_table, allow_pallas=use_pallas)

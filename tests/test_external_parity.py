@@ -74,7 +74,7 @@ def test_preprocess_produces_loadable_split(tmp_path):
 
 
 def test_side_command_pins_shared_contract():
-    cmd = ep.side_command("skrx", "/repo/run_skrx.py", "LightGCN",
+    cmd = ep.side_command("/repo/run_skrx.py", "LightGCN",
                           "/data/gowalla_split", ep.CONFIGS["lightgcn"]
                           ["flags"], "UIT", "\\t")
     s = " ".join(cmd)
