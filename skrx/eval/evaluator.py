@@ -133,7 +133,9 @@ class RankingEvaluator:
         # (tensor-parallel model.predict_topk), or "auto" — topk when the
         # mesh has a model axis > 1; fused on single-device TPU for models
         # exposing dot factors whenever the threshold-pruned selection
-        # engages (the ops.metrics._use_blockwise gate, ~32k+ items);
+        # engages (the ops.metrics._use_blockwise gate: >= 4096 items AND
+        # n/128 >= 2k, i.e. >= 12.8k at k=50 — below that, full eval's
+        # small-catalog direct rank count is the fast path);
         # chunked when num_items >= chunk_threshold; else full.
         assert eval_mode in ("auto", "full", "chunked", "fused", "topk"), \
             eval_mode
